@@ -1,0 +1,218 @@
+"""Configuration dataclasses and CLI parsing.
+
+Flag-name parity with the reference argument surface (reference:
+m2t/arguments.py:22-109) plus TPU-native additions (mesh shape, remat,
+pallas toggles). Everything is a plain dataclass so configs serialize to
+JSON for the args.txt audit file (reference: m2t/arguments.py:136-155).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Decoder architecture. Defaults describe Llama-2-7B; `tiny()` and
+    `mpt_1b()` provide the test and ablation variants."""
+
+    arch: str = "llama"  # "llama" | "mpt"
+    vocab_size: int = 32004  # 32000 + pad + 3 audio specials
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32  # < num_heads => GQA/MQA
+    head_dim: Optional[int] = None  # default hidden/num_heads
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    # MPT-specific
+    use_alibi: bool = False
+    use_bias: bool = False
+    tie_embeddings: bool = False  # MPT ties lm_head to wte
+    mlp_activation: str = "silu"  # "silu" (SwiGLU) | "gelu" (plain MLP)
+    norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm"
+    # Multimodal
+    mm_hidden_size: int = 4800  # Jukebox embedding dim; 512 for CLAP
+    use_audio_start_end: bool = True
+    # Numerics
+    dtype: str = "bfloat16"  # activation/compute dtype
+    param_dtype: str = "float32"
+    # Kernels
+    use_pallas_attention: bool = True
+    attention_block_q: int = 256
+    attention_block_k: int = 256
+    remat: bool = True
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_heads
+
+    @classmethod
+    def llama2_7b(cls, **kw) -> "ModelConfig":
+        return cls(**kw)
+
+    @classmethod
+    def mpt_1b(cls, **kw) -> "ModelConfig":
+        """MPT-1B ablation (reference: m2t/llava/model/mpt/configuration_mpt.py:7-17)."""
+        base = dict(
+            arch="mpt",
+            vocab_size=50368 + 3,
+            hidden_size=2048,
+            intermediate_size=8192,
+            num_layers=24,
+            num_heads=16,
+            num_kv_heads=16,
+            max_seq_len=2048,
+            use_alibi=True,
+            tie_embeddings=True,
+            mlp_activation="gelu",
+            norm_type="layernorm",
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def tiny(cls, arch: str = "llama", **kw) -> "ModelConfig":
+        """Small config for CPU tests."""
+        base = dict(
+            arch=arch,
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=4,
+            max_seq_len=256,
+            mm_hidden_size=48,
+            use_pallas_attention=False,
+            remat=False,
+        )
+        if arch == "mpt":
+            base.update(
+                use_alibi=True,
+                tie_embeddings=True,
+                mlp_activation="gelu",
+                norm_type="layernorm",
+            )
+        base.update(kw)
+        return cls(**base)
+
+
+@dataclasses.dataclass
+class ModelArguments:
+    """Reference-parity model flags (reference: m2t/arguments.py:22-44)."""
+
+    model_name_or_path: str = "llama2-7b"
+    version: str = "v0"
+    freeze_backbone: bool = False
+    tune_mm_mlp_adapter: bool = False
+    pretrain_mm_mlp_adapter: Optional[str] = None
+    mm_use_audio_start_end: bool = True
+    mm_hidden_size: int = 4800
+
+
+@dataclasses.dataclass
+class DataArguments:
+    """Reference-parity data flags (reference: m2t/arguments.py:47-78)."""
+
+    train_data_path: Optional[str] = None
+    eval_data_path: Optional[str] = None
+    is_multimodal: bool = True
+    sep_audio_conv_front: bool = False
+    task_sample_probs: Optional[Dict[str, float]] = None
+    max_audio_frames: int = 256  # pad/truncate audio frame axis (static shapes)
+
+    def __post_init__(self):
+        if self.task_sample_probs is None:
+            # reference: m2t/arguments.py:61-67
+            self.task_sample_probs = {
+                "captioning": 0.15,
+                "reasoning": 0.55,
+                "mir": 0.30,
+            }
+
+
+@dataclasses.dataclass
+class TrainingArguments:
+    """Training hyperparameters (reference: m2t/arguments.py:81-109 and the
+    hyperparameters-of-record in scripts/training/train_llark.sh:24-44)."""
+
+    output_dir: str = "/tmp/llark_tpu"
+    cache_dir: Optional[str] = None
+    optim: str = "adamw"
+    model_max_length: int = 2048
+    per_device_train_batch_size: int = 2
+    gradient_accumulation_steps: int = 4
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    lr_scheduler_type: str = "cosine"
+    max_steps: int = 100_000
+    save_steps: int = 5000
+    save_total_limit: int = 1
+    logging_steps: int = 1
+    seed: int = 42
+    bf16: bool = True
+    gradient_checkpointing: bool = True
+    # LoRA (reference: m2t/arguments.py:96-108)
+    lora_enable: bool = False
+    lora_r: int = 64
+    lora_alpha: int = 16
+    lora_dropout: float = 0.05
+    # TPU-native additions
+    mesh_shape: Tuple[int, int, int] = (1, 1, 1)  # (data, fsdp, tensor)
+    resume: bool = True
+
+
+def write_args_to_file(args_list, output_dir: str) -> None:
+    """Dump all argument dataclasses to `<output_dir>/args.txt`
+    (reference: m2t/arguments.py:136-155)."""
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "args.txt")
+    payload = {
+        type(a).__name__: dataclasses.asdict(a) for a in args_list
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+    os.replace(tmp, path)  # atomic: tolerate concurrent writers
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type) -> None:
+    for f in dataclasses.fields(dc_type):
+        name = "--" + f.name
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+            default = f.default_factory()  # type: ignore[misc]
+        ftype = f.type if isinstance(f.type, type) else str
+        if ftype is bool or str(f.type) == "bool":
+            parser.add_argument(
+                name, type=lambda s: s.lower() in ("1", "true", "yes"), default=default
+            )
+        elif str(f.type) in ("int", "float", "str"):
+            parser.add_argument(name, type=eval(str(f.type)), default=default)  # noqa: S307
+        else:
+            parser.add_argument(name, type=json.loads if "Dict" in str(f.type) else str,
+                                default=default)
+
+
+def parse_args(argv=None):
+    """Parse (ModelArguments, DataArguments, TrainingArguments) from CLI."""
+    parser = argparse.ArgumentParser("llark_tpu")
+    for dc in (ModelArguments, DataArguments, TrainingArguments):
+        _add_dataclass_args(parser, dc)
+    ns, _ = parser.parse_known_args(argv)
+    d = vars(ns)
+
+    def pick(dc_type):
+        names = {f.name for f in dataclasses.fields(dc_type)}
+        kw = {k: v for k, v in d.items() if k in names and v is not None}
+        return dc_type(**kw)
+
+    return pick(ModelArguments), pick(DataArguments), pick(TrainingArguments)

@@ -1,0 +1,324 @@
+"""Unified functional decoder: Llama-2 (RoPE/RMSNorm/SwiGLU/GQA) and
+MPT (ALiBi/LayerNorm/GELU/tied-embeddings) variants from one config.
+
+TPU-first design notes (vs. reference m2t/models/llamav2.py + vendored
+m2t/llava/model/mpt/modeling_mpt.py):
+  * layer parameters are stacked [L, ...] and iterated with lax.scan —
+    one compiled layer body, O(1) compile time in depth;
+  * per-layer rematerialization via jax.checkpoint (reference used HF
+    gradient_checkpointing, modeling_mpt.py:304-312);
+  * KV cache is a static-shape pytree updated with dynamic_update_slice —
+    no Python control flow under jit;
+  * attention dispatches to the Pallas flash kernel on TPU
+    (llark_tpu/ops/attention.py).
+
+Params live in `param_dtype` (fp32 by default) and are cast to the compute
+dtype (bf16) at use; norms and softmax accumulate in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.ops.attention import alibi_slopes, multihead_attention, xla_attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: Optional[jnp.ndarray], eps: float
+) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _norm(cfg: ModelConfig, x, scale, bias):
+    if cfg.norm_type == "rmsnorm":
+        return rms_norm(x, scale, cfg.rms_norm_eps)
+    return layer_norm(x, scale, bias, cfg.rms_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+
+def rope_freqs(head_dim: int, theta: float) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """x: [B, H, S, D]; positions: [B, S] or [S]. Rotate-half convention
+    (matches HF Llama so imported weights are compatible)."""
+    d = x.shape[-1]
+    freqs = rope_freqs(d, theta)  # [D/2]
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, D/2]
+    cos = jnp.cos(angles)[:, None, :, :]  # [B, 1, S, D/2]
+    sin = jnp.sin(angles)[:, None, :, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_decoder_params(cfg: ModelConfig, key: jax.Array) -> Params:
+    """Initialize a parameter pytree. Layer weights are stacked on axis 0."""
+    pdt = jnp.dtype(cfg.param_dtype)
+    h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(key, 16)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(pdt)
+
+    layers: Params = {
+        "attn_norm_scale": jnp.ones((L, h), pdt),
+        "mlp_norm_scale": jnp.ones((L, h), pdt),
+        "wq": dense(keys[0], (L, h, nh * hd), h),
+        "wk": dense(keys[1], (L, h, nkv * hd), h),
+        "wv": dense(keys[2], (L, h, nkv * hd), h),
+        "wo": dense(keys[3], (L, nh * hd, h), nh * hd),
+        "w_up": dense(keys[4], (L, h, i), h),
+        "w_down": dense(keys[5], (L, i, h), i),
+    }
+    if cfg.mlp_activation == "silu":
+        layers["w_gate"] = dense(keys[6], (L, h, i), h)
+    if cfg.norm_type == "layernorm":
+        layers["attn_norm_bias"] = jnp.zeros((L, h), pdt)
+        layers["mlp_norm_bias"] = jnp.zeros((L, h), pdt)
+    if cfg.use_bias:
+        layers["bq"] = jnp.zeros((L, nh * hd), pdt)
+        layers["bk"] = jnp.zeros((L, nkv * hd), pdt)
+        layers["bv"] = jnp.zeros((L, nkv * hd), pdt)
+        layers["bo"] = jnp.zeros((L, h), pdt)
+        layers["b_up"] = jnp.zeros((L, i), pdt)
+        layers["b_down"] = jnp.zeros((L, h), pdt)
+        if cfg.mlp_activation == "silu":
+            layers["b_gate"] = jnp.zeros((L, i), pdt)
+
+    params: Params = {
+        "embed": (jax.random.normal(keys[7], (cfg.vocab_size, h), jnp.float32) * 0.02).astype(pdt),
+        "layers": layers,
+        "final_norm_scale": jnp.ones((h,), pdt),
+    }
+    if cfg.norm_type == "layernorm":
+        params["final_norm_bias"] = jnp.zeros((h,), pdt)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(keys[8], (h, cfg.vocab_size), h)
+    return params
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch_size: int, max_len: int, dtype=None
+) -> Params:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Layer body
+# ---------------------------------------------------------------------------
+
+
+def _dense(x, w, b, dtype):
+    y = jnp.einsum("bsh,hd->bsd", x, w.astype(dtype), preferred_element_type=jnp.float32)
+    y = y.astype(dtype)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def _layer_forward(
+    cfg: ModelConfig,
+    lp: Params,
+    x: jnp.ndarray,  # [B, S, H] compute dtype
+    positions: jnp.ndarray,  # [B, S]
+    kv_lengths: Optional[jnp.ndarray],
+    slopes: Optional[jnp.ndarray],
+    k_cache: Optional[jnp.ndarray],  # [B, nkv, S_max, hd]
+    v_cache: Optional[jnp.ndarray],
+    cache_index: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    dtype = x.dtype
+    b, s, h = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    y = _norm(cfg, x, lp["attn_norm_scale"], lp.get("attn_norm_bias"))
+    q = _dense(y, lp["wq"], lp.get("bq"), dtype).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = _dense(y, lp["wk"], lp.get("bk"), dtype).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = _dense(y, lp["wv"], lp.get("bv"), dtype).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+
+    if not cfg.use_alibi:
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+    new_k_cache = new_v_cache = None
+    if k_cache is not None:
+        # static-shape cache insert at cache_index
+        new_k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, cache_index, 0)
+        )
+        new_v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, cache_index, 0)
+        )
+        attend_k, attend_v = new_k_cache, new_v_cache
+        cache_kv_lengths = jnp.full((b,), cache_index + s, jnp.int32)
+        if kv_lengths is not None:
+            cache_kv_lengths = jnp.minimum(cache_kv_lengths, kv_lengths)
+        attn = xla_attention(
+            q,
+            attend_k,
+            attend_v,
+            causal=True,
+            kv_lengths=cache_kv_lengths,
+            slopes=slopes,
+            q_offset=cache_index,
+        )
+    else:
+        attn = multihead_attention(
+            q,
+            k,
+            v,
+            causal=True,
+            kv_lengths=kv_lengths,
+            slopes=slopes,
+            use_pallas=cfg.use_pallas_attention,
+            block_q=cfg.attention_block_q,
+            block_k=cfg.attention_block_k,
+        )
+
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+    attn_out = _dense(attn, lp["wo"], lp.get("bo"), dtype)
+    x = x + attn_out
+
+    y = _norm(cfg, x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"))
+    if cfg.mlp_activation == "silu":
+        gate = _dense(y, lp["w_gate"], lp.get("b_gate"), dtype)
+        up = _dense(y, lp["w_up"], lp.get("b_up"), dtype)
+        z = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up
+    else:
+        up = _dense(y, lp["w_up"], lp.get("b_up"), dtype)
+        z = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(dtype)
+    mlp_out = _dense(z, lp["w_down"], lp.get("b_down"), dtype)
+    return x + mlp_out, new_k_cache, new_v_cache
+
+
+# ---------------------------------------------------------------------------
+# Full decoder forward
+# ---------------------------------------------------------------------------
+
+
+def decoder_forward(
+    cfg: ModelConfig,
+    params: Params,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,  # [B, S]
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S, H]
+    seq_lengths: Optional[jnp.ndarray] = None,  # [B]
+    positions: Optional[jnp.ndarray] = None,  # [B, S]
+    kv_cache: Optional[Params] = None,
+    return_hidden: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Params]]:
+    """Run the decoder. Returns (logits_or_hidden, updated_kv_cache|None).
+
+    Training: pass input_ids/inputs_embeds + seq_lengths (right-padded mask).
+    Prefill/decode: additionally pass kv_cache; positions default to
+    cache_index + arange(S).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    if inputs_embeds is None:
+        inputs_embeds = embed_tokens(cfg, params, input_ids)
+    x = inputs_embeds.astype(dtype)
+    b, s, _ = x.shape
+
+    cache_index = kv_cache["index"] if kv_cache is not None else None
+    if positions is None:
+        pos = jnp.arange(s, dtype=jnp.int32)[None, :]
+        if cache_index is not None:
+            pos = pos + cache_index
+        positions = jnp.broadcast_to(pos, (b, s))
+
+    slopes = alibi_slopes(cfg.num_heads) if cfg.use_alibi else None
+
+    def body(carry, xs):
+        xh = carry
+        if kv_cache is not None:
+            lp, kc, vc = xs
+            out, nk, nv = _layer_forward(
+                cfg, lp, xh, positions, seq_lengths, slopes, kc, vc, cache_index
+            )
+            return out, (nk, nv)
+        lp = xs
+        out, _, _ = _layer_forward(
+            cfg, lp, xh, positions, seq_lengths, slopes, None, None, None
+        )
+        return out, None
+
+    if cfg.remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    if kv_cache is not None:
+        xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+        x, (new_k, new_v) = jax.lax.scan(body, x, xs)
+        new_cache = {"k": new_k, "v": new_v, "index": kv_cache["index"] + s}
+    else:
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+
+    x = _norm(
+        cfg, x, params["final_norm_scale"], params.get("final_norm_bias")
+    )
+    if return_hidden:
+        return x, new_cache
+
+    logits = compute_logits(cfg, params, x)
+    return logits, new_cache
+
+
+def embed_tokens(cfg: ModelConfig, params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed"], input_ids, axis=0).astype(jnp.dtype(cfg.dtype))
+
+
+def compute_logits(cfg: ModelConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """LM head; tied to the embedding for MPT (reference: m2t/models/mpt.py:312)."""
+    dtype = hidden.dtype
+    if cfg.tie_embeddings:
+        w = params["embed"].astype(dtype)  # [V, H]
+        return jnp.einsum("bsh,vh->bsv", hidden, w, preferred_element_type=jnp.float32)
+    w = params["lm_head"].astype(dtype)  # [H, V]
+    return jnp.einsum("bsh,hv->bsv", hidden, w, preferred_element_type=jnp.float32)

@@ -1,0 +1,330 @@
+"""Attention ops: Pallas TPU flash-attention forward + XLA reference path.
+
+The reference's kernel layer is CUDA flash-attn / Triton with optional ALiBi
+bias (reference: m2t/llava/model/mpt/attention.py:99-213). The TPU-native
+equivalent here is a blocked online-softmax Pallas kernel:
+
+  * grid over (batch, q_head, q_block); inner fori_loop over k blocks
+  * fp32 accumulators in VMEM scratch; bf16 inputs hit the MXU
+  * causal masking by block skip + in-block triangle
+  * per-row kv_length masking (right-padded batches)
+  * optional ALiBi bias computed in-kernel from per-head slopes (SMEM)
+  * GQA: q head h reads kv head h // (H // H_kv)
+
+Slope convention everywhere: `slopes` are positive magnitudes; the additive
+bias is `slope * (k_pos - q_pos)` (<= 0 on the causal triangle).
+
+Training uses `multihead_attention`, a custom_vjp whose forward is the Pallas
+kernel and whose backward re-computes via the XLA reference path (correct
+gradients; a fully-Pallas backward is layered in later). On non-TPU backends
+everything falls through to the XLA path so the whole framework runs (and is
+tested) on CPU meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Per-head ALiBi slope magnitudes, MPT-compatible: computed on the next
+    power of two and interleave-subsampled (reference:
+    m2t/llava/model/mpt/attention.py:462-470)."""
+    ceil_p2 = 2 ** math.ceil(math.log2(num_heads))
+    base = jnp.arange(1, ceil_p2 + 1, dtype=jnp.float32)
+    slopes = 1.0 / jnp.power(2.0, base * (8.0 / ceil_p2))
+    if ceil_p2 != num_heads:
+        slopes = jnp.concatenate([slopes[1::2], slopes[0::2]])[:num_heads]
+    return slopes
+
+
+def _broadcast_kv(k: jnp.ndarray, num_q_heads: int) -> jnp.ndarray:
+    """[B, Hkv, S, D] -> [B, H, S, D] by repetition (GQA/MQA)."""
+    b, hkv, s, d = k.shape
+    if hkv == num_q_heads:
+        return k
+    group = num_q_heads // hkv
+    return jnp.repeat(k, group, axis=1)
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    kv_lengths: Optional[jnp.ndarray] = None,
+    slopes: Optional[jnp.ndarray] = None,
+    q_offset: int | jnp.ndarray = 0,
+) -> jnp.ndarray:
+    """Reference attention in pure XLA. q:[B,H,Sq,D] k,v:[B,Hkv,Sk,D].
+
+    `q_offset` is the absolute position of q[..., 0, :] (used at decode time
+    when attending into a KV cache). fp32 softmax for numerical stability.
+    """
+    b, h, sq, d = q.shape
+    k = _broadcast_kv(k, h)
+    v = _broadcast_kv(v, h)
+    sk = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+
+    q_pos = jnp.arange(sq)[:, None] + q_offset  # [Sq, 1]
+    k_pos = jnp.arange(sk)[None, :]  # [1, Sk]
+    mask = jnp.ones((sq, sk), dtype=bool)
+    if causal:
+        mask = k_pos <= q_pos
+    if slopes is not None:
+        bias = slopes[:, None, None] * (k_pos - q_pos)[None, :, :].astype(jnp.float32)
+        logits = logits + bias[None]
+    mask = mask[None, None]
+    if kv_lengths is not None:
+        mask = mask & (k_pos[None, None] < kv_lengths[:, None, None, None])
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash-attention forward
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(
+    kvlen_ref,  # SMEM [B] int32 (scalar-prefetch: per-row kv length)
+    slope_ref,  # SMEM [H] f32 (scalar-prefetch: per-head alibi slope; 0 disables)
+    q_ref,  # VMEM [1, 1, block_q, D]
+    k_ref,  # VMEM [1, 1, Sk, D]
+    v_ref,  # VMEM [1, 1, Sk, D]
+    o_ref,  # VMEM [1, 1, block_q, D]
+    acc_ref,  # scratch VMEM [block_q, D] f32
+    m_ref,  # scratch VMEM [block_q, 128] f32 (row max, lane-replicated)
+    l_ref,  # scratch VMEM [block_q, 128] f32 (row sum)
+    *,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    sk: int,
+    scale: float,
+):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    iq = pl.program_id(2)
+    q_start = iq * block_q
+    kv_len = kvlen_ref[bi]
+    slope = slope_ref[hi]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [block_q, D]
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    num_k_blocks = pl.cdiv(sk, block_k)
+    if causal:
+        # only k blocks whose start is < end of this q block
+        num_k_blocks_eff = jnp.minimum(num_k_blocks, pl.cdiv(q_start + block_q, block_k))
+    else:
+        num_k_blocks_eff = num_k_blocks
+
+    def body(ik, _):
+        k_start = ik * block_k
+        kb = k_ref[0, 0, pl.ds(k_start, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(k_start, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = s + slope * (k_pos - q_pos).astype(jnp.float32)
+        mask = k_pos < kv_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[:, :1]  # [block_q, 1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [block_q, block_k]
+        alpha = jnp.exp(m_prev - m_new)  # [block_q, 1]
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype),
+            vb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, num_k_blocks_eff, body, 0)
+
+    l = l_ref[:, :1]
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
+    o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def flash_attention_fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    kv_lengths: Optional[jnp.ndarray] = None,
+    slopes: Optional[jnp.ndarray] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Blocked flash-attention forward. q:[B,H,Sq,D], k/v:[B,Hkv,Sk,D]."""
+    b, h, sq, d = q.shape
+    _, hkv, sk, _ = k.shape
+    group = h // hkv
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(f"seq lens ({sq},{sk}) must divide blocks ({block_q},{block_k})")
+    scale = 1.0 / math.sqrt(d)
+
+    if kv_lengths is None:
+        kv_lengths = jnp.full((b,), sk, dtype=jnp.int32)
+    kvlen_arr = kv_lengths.astype(jnp.int32).reshape(b)
+    if slopes is None:
+        slopes_arr = jnp.zeros((h,), dtype=jnp.float32)
+    else:
+        slopes_arr = jnp.abs(slopes).astype(jnp.float32).reshape(h)
+
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        sk=sk,
+        scale=scale,
+    )
+    # scalar-prefetch index maps receive (grid_idx..., *scalar_refs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda bi, hi, qi, *_: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, sk, d),
+                lambda bi, hi, qi, *_, g=group: (bi, hi // g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, sk, d),
+                lambda bi, hi, qi, *_, g=group: (bi, hi // g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda bi, hi, qi, *_: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=2 * (q.size + k.size * group + v.size * group + q.size),
+            transcendentals=b * h * sq * sk,
+        ),
+        interpret=interpret,
+    )(kvlen_arr, slopes_arr, q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_mha(q, k, v, causal, block_q, block_k, interpret, kv_lengths, slopes):
+    return flash_attention_fwd(
+        q,
+        k,
+        v,
+        causal=causal,
+        kv_lengths=kv_lengths,
+        slopes=slopes,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )
+
+
+def _flash_mha_fwd(q, k, v, causal, block_q, block_k, interpret, kv_lengths, slopes):
+    out = _flash_mha(q, k, v, causal, block_q, block_k, interpret, kv_lengths, slopes)
+    return out, (q, k, v, kv_lengths, slopes)
+
+
+def _flash_mha_bwd(causal, block_q, block_k, interpret, res, g):
+    q, k, v, kv_lengths, slopes = res
+
+    # Recompute-based backward through the XLA reference path. Correct and
+    # remat-friendly; to be replaced by a Pallas dq/dk/dv kernel.
+    def f(q_, k_, v_):
+        return xla_attention(q_, k_, v_, causal=causal, kv_lengths=kv_lengths, slopes=slopes)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    kvl_ct = (
+        np.zeros(kv_lengths.shape, dtype=jax.dtypes.float0)
+        if kv_lengths is not None
+        else None
+    )
+    sl_ct = jnp.zeros_like(slopes) if slopes is not None else None
+    return dq, dk, dv, kvl_ct, sl_ct
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    kv_lengths: Optional[jnp.ndarray] = None,
+    slopes: Optional[jnp.ndarray] = None,
+    use_pallas: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dispatching attention entry point. Pallas on TPU, XLA elsewhere."""
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and (on_tpu or interpret) and q.shape[2] > 1:
+        sq, sk = q.shape[2], k.shape[2]
+        bq = min(block_q, sq)
+        bk = min(block_k, sk)
+        if sq % bq == 0 and sk % bk == 0 and q.shape[3] % 128 == 0:
+            return _flash_mha(q, k, v, causal, bq, bk, interpret, kv_lengths, slopes)
+    return xla_attention(q, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes)

@@ -1,0 +1,78 @@
+"""Flash-attention kernel parity vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llark_tpu.ops.attention import (
+    alibi_slopes,
+    flash_attention_fwd,
+    xla_attention,
+)
+
+
+def rand_qkv(key, b, h, s, d, hkv=None):
+    hkv = hkv or h
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(k2, (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(k3, (b, hkv, s, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_xla(causal):
+    q, k, v = rand_qkv(jax.random.PRNGKey(0), 2, 2, 256, 128)
+    ref = xla_attention(q, k, v, causal=causal)
+    out = flash_attention_fwd(
+        q, k, v, causal=causal, block_q=128, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_kv_lengths():
+    q, k, v = rand_qkv(jax.random.PRNGKey(1), 2, 2, 256, 128)
+    kv_len = jnp.array([100, 256], jnp.int32)
+    ref = xla_attention(q, k, v, causal=True, kv_lengths=kv_len)
+    out = flash_attention_fwd(
+        q, k, v, causal=True, kv_lengths=kv_len, block_q=128, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_alibi():
+    h = 4
+    q, k, v = rand_qkv(jax.random.PRNGKey(2), 1, h, 256, 128)
+    slopes = alibi_slopes(h)
+    ref = xla_attention(q, k, v, causal=True, slopes=slopes)
+    out = flash_attention_fwd(
+        q, k, v, causal=True, slopes=slopes, block_q=128, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_gqa():
+    q, k, v = rand_qkv(jax.random.PRNGKey(3), 1, 4, 128, 128, hkv=2)
+    ref = xla_attention(q, k, v, causal=True)
+    out = flash_attention_fwd(q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_alibi_slopes_values():
+    s = np.asarray(alibi_slopes(8))
+    np.testing.assert_allclose(s, [2.0 ** -(i + 1) for i in range(8)], rtol=1e-6)
+    # non-power-of-2: computed on next pow2 and interleaved (not monotone)
+    s3 = np.asarray(alibi_slopes(3))
+    assert s3.shape == (3,)
+    assert (s3 > 0).all() and len(set(s3.tolist())) == 3
+
+
+def test_xla_attention_decode_offset():
+    """Single-token decode with q_offset equals the row of a full forward."""
+    b, h, s, d = 1, 2, 8, 16
+    q, k, v = rand_qkv(jax.random.PRNGKey(4), b, h, s, d)
+    full = xla_attention(q, k, v, causal=True)
+    t = 5
+    one = xla_attention(q[:, :, t : t + 1], k, v, causal=True, q_offset=t)
+    np.testing.assert_allclose(np.asarray(one[:, :, 0]), np.asarray(full[:, :, t]), rtol=1e-5, atol=1e-5)
