@@ -1,0 +1,199 @@
+"""Generation: jitted prefill + decode with a static KV cache.
+
+Replaces the reference's HF `model.generate(...)` +
+`KeywordsStoppingCriteria("###")` (reference: m2t/infer.py:146-152,
+m2t/generate.py:18-44) with a TPU-native two-graph design:
+
+  * prefill: one jitted multimodal forward over the (padded) prompt that
+    fills the KV cache and emits the first sampled token;
+  * decode: one jitted single-token step, run in a host loop (or
+    lax.while_loop via `generate_while`) against the static cache;
+  * stopping: the `###` keyword check runs on host over the decoded ids
+    (cheap), exactly mirroring KeywordsStoppingCriteria semantics; EOS
+    and max-length also stop.
+
+All shapes are static: prompts are right-padded to a bucket length and
+`prompt_lengths` carries the true lengths. Position ids and cache indices
+are derived from the true length so padding never pollutes the cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.models.decoder import init_kv_cache
+from llark_tpu.models.fusion import build_inputs_embeds
+from llark_tpu.models import decoder as decoder_lib
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    max_new_tokens: int = 256
+    temperature: float = 0.0  # 0 => greedy
+    top_p: float = 1.0
+    eos_token_id: Optional[int] = None
+    stop_text: str = "###"  # reference keyword stop
+
+
+def _sample(logits: jnp.ndarray, cfg: GenerationConfig, key: jax.Array) -> jnp.ndarray:
+    """logits [B, V] -> token [B]."""
+    if cfg.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / cfg.temperature
+    if cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < cfg.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def make_prefill_fn(cfg: ModelConfig, audio_patch_id: int, max_cache_len: int):
+    """Jittable prefill: (params, input_ids, prompt_lengths, audio, frame_counts)
+    -> (next_token_logits [B, V], kv_cache)."""
+
+    def prefill(params, input_ids, prompt_lengths, audio_encodings, audio_frame_counts):
+        b, s = input_ids.shape
+        inputs_embeds = build_inputs_embeds(
+            cfg, params, input_ids, audio_encodings, audio_patch_id, audio_frame_counts
+        )
+        cache = init_kv_cache(cfg, b, max_cache_len)
+        logits, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=inputs_embeds,
+            seq_lengths=prompt_lengths,
+            kv_cache=cache,
+        )
+        # logits at the last *real* prompt position of each row
+        last = jnp.clip(prompt_lengths - 1, 0, s - 1)
+        next_logits = jnp.take_along_axis(
+            logits, last[:, None, None], axis=1
+        )[:, 0, :]
+        # cache index must continue from the true prompt length; cache was
+        # filled for the padded region too, but kv_lengths at decode time
+        # mask it out per-row via prompt_lengths + generated count.
+        return next_logits, cache
+
+    return prefill
+
+
+def make_decode_fn(cfg: ModelConfig):
+    """Jittable single-token decode step.
+
+    Positions/kv-masking are per-row: row i's new token sits at position
+    prompt_lengths[i] + step, and attends to [0, that position].
+    """
+
+    def decode(params, token, cache, write_positions):
+        """write_positions [B]: absolute cache slot (= true prompt len + step)."""
+        inputs_embeds = decoder_lib.embed_tokens(cfg, params, token[:, None])
+        logits, new_cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=inputs_embeds,
+            kv_cache=cache,
+            cache_positions=write_positions,
+        )
+        return logits[:, 0, :], new_cache
+
+    return decode
+
+
+class Generator:
+    """Stateful convenience wrapper: compiles prefill/decode once per shape."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        audio_patch_id: int,
+        gen_cfg: Optional[GenerationConfig] = None,
+        max_cache_len: int = 2048,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.gen_cfg = gen_cfg or GenerationConfig()
+        self.audio_patch_id = audio_patch_id
+        self.max_cache_len = max_cache_len
+        self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
+        self._decode = jax.jit(make_decode_fn(cfg))
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # [B, S] right-padded
+        prompt_lengths: np.ndarray,  # [B]
+        audio_encodings: Optional[np.ndarray] = None,  # [B, T, mm]
+        audio_frame_counts: Optional[np.ndarray] = None,
+        tokenizer=None,  # optional: enables "###" text stopping
+        rng: Optional[jax.Array] = None,
+    ) -> List[List[int]]:
+        """Generate per-row token lists (without the prompt)."""
+        gen_cfg = self.gen_cfg
+        b, s = input_ids.shape
+        if s + gen_cfg.max_new_tokens > self.max_cache_len:
+            raise ValueError("prompt + max_new_tokens exceeds cache length")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if audio_encodings is None:
+            audio_encodings = np.zeros((b, 1, self.cfg.mm_hidden_size), np.float32)
+            audio_frame_counts = np.zeros((b,), np.int32)
+        if audio_frame_counts is None:
+            audio_frame_counts = np.full((b,), audio_encodings.shape[1], np.int32)
+
+        prompt_lengths = jnp.asarray(prompt_lengths, jnp.int32)
+        logits, cache = self._prefill(
+            self.params,
+            jnp.asarray(input_ids),
+            prompt_lengths,
+            jnp.asarray(audio_encodings),
+            jnp.asarray(audio_frame_counts),
+        )
+        # Prefill wrote [0, s) including pad slots; decode overwrites pad
+        # slots per-row: row i's token at step t lives at prompt_len[i] + t,
+        # and its kv window is [0, prompt_len[i] + t + 1).
+        done = np.zeros((b,), bool)
+        out: List[List[int]] = [[] for _ in range(b)]
+        eos = gen_cfg.eos_token_id
+        stop_text = gen_cfg.stop_text
+
+        token = _sample(logits, gen_cfg, rng)
+        for step in range(gen_cfg.max_new_tokens):
+            tok_np = np.asarray(token)
+            for i in range(b):
+                if not done[i]:
+                    t = int(tok_np[i])
+                    if eos is not None and t == eos:
+                        done[i] = True
+                        continue
+                    out[i].append(t)
+                    if stop_text and tokenizer is not None:
+                        tail = tokenizer.decode(out[i][-8:])
+                        if stop_text in tail:
+                            done[i] = True
+            if done.all() or step == gen_cfg.max_new_tokens - 1:
+                break
+            rng, sub = jax.random.split(rng)
+            write_pos = prompt_lengths + step
+            logits, cache = self._decode(self.params, token, cache, write_pos)
+            token = _sample(logits, self.gen_cfg, sub)
+
+        if stop_text and tokenizer is not None:
+            out = [self._trim_stop(ids, tokenizer, stop_text) for ids in out]
+        return out
+
+    @staticmethod
+    def _trim_stop(ids: List[int], tokenizer, stop_text: str) -> List[int]:
+        """Drop a trailing stop keyword from the decoded suffix
+        (reference: KeywordsStoppingCriteria + response trimming)."""
+        while ids and stop_text in tokenizer.decode(ids[-4:]):
+            ids = ids[:-1]
+        return ids

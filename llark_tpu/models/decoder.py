@@ -172,7 +172,8 @@ def _layer_forward(
     slopes: Optional[jnp.ndarray],
     k_cache: Optional[jnp.ndarray],  # [B, nkv, S_max, hd]
     v_cache: Optional[jnp.ndarray],
-    cache_index: Optional[jnp.ndarray],
+    cache_index: Optional[jnp.ndarray],  # scalar (prefill)
+    cache_positions: Optional[jnp.ndarray],  # [B] per-row write pos (decode)
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     dtype = x.dtype
     b, s, h = x.shape
@@ -189,25 +190,35 @@ def _layer_forward(
 
     new_k_cache = new_v_cache = None
     if k_cache is not None:
-        # static-shape cache insert at cache_index
-        new_k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, cache_index, 0)
-        )
-        new_v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, cache_index, 0)
-        )
-        attend_k, attend_v = new_k_cache, new_v_cache
-        cache_kv_lengths = jnp.full((b,), cache_index + s, jnp.int32)
+        if cache_positions is not None:
+            # ragged decode: each row writes at its own position
+            def upd(c, x, pos):
+                return jax.lax.dynamic_update_slice(c, x, (0, pos, 0))
+
+            new_k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), cache_positions)
+            new_v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), cache_positions)
+            q_offset = cache_positions
+            cache_kv_lengths = cache_positions + s
+        else:
+            # prefill: static-shape insert at the shared scalar index
+            new_k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, 0, cache_index, 0)
+            )
+            new_v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, 0, cache_index, 0)
+            )
+            q_offset = cache_index
+            cache_kv_lengths = jnp.full((b,), cache_index + s, jnp.int32)
         if kv_lengths is not None:
             cache_kv_lengths = jnp.minimum(cache_kv_lengths, kv_lengths)
         attn = xla_attention(
             q,
-            attend_k,
-            attend_v,
+            new_k_cache,
+            new_v_cache,
             causal=True,
             kv_lengths=cache_kv_lengths,
             slopes=slopes,
-            q_offset=cache_index,
+            q_offset=q_offset,
         )
     else:
         attn = multihead_attention(
@@ -252,6 +263,7 @@ def decoder_forward(
     seq_lengths: Optional[jnp.ndarray] = None,  # [B]
     positions: Optional[jnp.ndarray] = None,  # [B, S]
     kv_cache: Optional[Params] = None,
+    cache_positions: Optional[jnp.ndarray] = None,  # [B] ragged decode writes
     return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_kv_cache|None).
@@ -269,7 +281,9 @@ def decoder_forward(
     cache_index = kv_cache["index"] if kv_cache is not None else None
     if positions is None:
         pos = jnp.arange(s, dtype=jnp.int32)[None, :]
-        if cache_index is not None:
+        if cache_positions is not None:
+            pos = pos + cache_positions[:, None]
+        elif cache_index is not None:
             pos = pos + cache_index
         positions = jnp.broadcast_to(pos, (b, s))
 
@@ -280,12 +294,13 @@ def decoder_forward(
         if kv_cache is not None:
             lp, kc, vc = xs
             out, nk, nv = _layer_forward(
-                cfg, lp, xh, positions, seq_lengths, slopes, kc, vc, cache_index
+                cfg, lp, xh, positions, seq_lengths, slopes, kc, vc,
+                cache_index, cache_positions,
             )
             return out, (nk, nv)
         lp = xs
         out, _, _ = _layer_forward(
-            cfg, lp, xh, positions, seq_lengths, slopes, None, None, None
+            cfg, lp, xh, positions, seq_lengths, slopes, None, None, None, None
         )
         return out, None
 

@@ -82,17 +82,20 @@ def xla_attention(
         * scale
     )
 
-    q_pos = jnp.arange(sq)[:, None] + q_offset  # [Sq, 1]
-    k_pos = jnp.arange(sk)[None, :]  # [1, Sk]
-    mask = jnp.ones((sq, sk), dtype=bool)
+    # q_offset may be a scalar or per-row [B] (ragged decode positions)
+    q_off = jnp.asarray(q_offset, jnp.int32).reshape(-1, 1, 1)  # [1|B, 1, 1]
+    q_pos = jnp.arange(sq, dtype=jnp.int32)[None, :, None] + q_off  # [1|B, Sq, 1]
+    k_pos = jnp.arange(sk, dtype=jnp.int32)[None, None, :]  # [1, 1, Sk]
+    rel = (k_pos - q_pos).astype(jnp.float32)  # [1|B, Sq, Sk]
+    mask = jnp.ones(rel.shape, dtype=bool)
     if causal:
         mask = k_pos <= q_pos
     if slopes is not None:
-        bias = slopes[:, None, None] * (k_pos - q_pos)[None, :, :].astype(jnp.float32)
-        logits = logits + bias[None]
-    mask = mask[None, None]
+        bias = slopes[None, :, None, None] * rel[:, None, :, :]
+        logits = logits + bias
+    mask = mask[:, None]  # [1|B, 1, Sq, Sk]
     if kv_lengths is not None:
-        mask = mask & (k_pos[None, None] < kv_lengths[:, None, None, None])
+        mask = mask & (k_pos[:, None] < kv_lengths[:, None, None, None])
     logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum(

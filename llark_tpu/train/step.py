@@ -1,0 +1,182 @@
+"""Optimizer factory + jitted, mesh-sharded train step.
+
+Equivalent of the reference's HF-Trainer inner loop + DDP all-reduce
+(reference: m2t/train.py:255-260 and SURVEY.md §3.1), rebuilt TPU-first:
+
+  * one jitted step = grad-accum microbatch scan -> grad -> optax update,
+    gradient all-reduce / reduce-scatter emitted by GSPMD from shardings;
+  * parameter freezing (freeze_backbone / tune_mm_mlp_adapter,
+    reference m2t/train.py:79-106,143-164) via optax.masked — frozen
+    subtrees get zero updates and no optimizer-state memory;
+  * lr schedule: linear warmup + cosine decay
+    (reference scripts/training/train_llark.sh:24-44).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from llark_tpu.config import ModelConfig, TrainingArguments
+from llark_tpu.models.fusion import causal_lm_loss, llark_forward
+from llark_tpu.train.state import TrainState
+
+
+def lr_schedule(args: TrainingArguments) -> optax.Schedule:
+    warmup = max(1, int(args.max_steps * args.warmup_ratio))
+    if args.lr_scheduler_type == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=args.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=args.max_steps,
+            end_value=0.0,
+        )
+    return optax.linear_schedule(args.learning_rate, args.learning_rate, 1)
+
+
+def trainable_mask(
+    params: Dict[str, Any],
+    *,
+    freeze_backbone: bool = False,
+    tune_mm_mlp_adapter: bool = False,
+) -> Dict[str, Any]:
+    """True = trainable. Adapter-only stage trains mm_projector + embed
+    (new-token rows are gated inside the model by trainable_token_start)."""
+
+    def mask_entry(path_key: str, subtree):
+        if path_key == "mm_projector":
+            return jax.tree.map(lambda _: True, subtree)
+        if tune_mm_mlp_adapter:
+            # adapter stage: projector + embedding table (new-token rows
+            # gated by trainable_token_start's stop_gradient in the model)
+            trainable = path_key == "embed"
+        elif freeze_backbone:
+            trainable = False
+        else:
+            trainable = True
+        return jax.tree.map(lambda _: trainable, subtree)
+
+    return {k: mask_entry(k, v) for k, v in params.items()}
+
+
+def make_optimizer(
+    args: TrainingArguments,
+    params: Dict[str, Any],
+    *,
+    freeze_backbone: bool = False,
+    tune_mm_mlp_adapter: bool = False,
+) -> optax.GradientTransformation:
+    schedule = lr_schedule(args)
+    core = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(
+            schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=args.weight_decay,
+        ),
+    )
+    if freeze_backbone or tune_mm_mlp_adapter:
+        mask = trainable_mask(
+            params,
+            freeze_backbone=freeze_backbone,
+            tune_mm_mlp_adapter=tune_mm_mlp_adapter,
+        )
+        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+        # frozen leaves get zero updates (optax.masked would pass raw grads
+        # through unchanged, silently un-freezing them)
+        return optax.multi_transform(
+            {"train": core, "freeze": optax.set_to_zero()}, labels
+        )
+    return core
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    audio_patch_id: int,
+    grad_accum_steps: int = 1,
+    trainable_token_start: Optional[int] = None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the (jittable) train step.
+
+    Batch contract (all static shapes):
+      input_ids          int32  [B, S]
+      labels             int32  [B, S]
+      seq_lengths        int32  [B]
+      audio_encodings    f32/bf16 [B, T, mm_hidden]
+      audio_frame_counts int32  [B]
+    with B = grad_accum_steps * micro_batch.
+    """
+
+    def loss_fn(params, micro):
+        logits, _ = llark_forward(
+            cfg,
+            params,
+            micro["input_ids"],
+            audio_encodings=micro.get("audio_encodings"),
+            audio_patch_id=audio_patch_id,
+            audio_frame_counts=micro.get("audio_frame_counts"),
+            seq_lengths=micro.get("seq_lengths"),
+            trainable_token_start=trainable_token_start,
+        )
+        loss, n_tok = causal_lm_loss(logits, micro["labels"])
+        return loss, n_tok
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if grad_accum_steps > 1:
+            def reshape(x):
+                return x.reshape((grad_accum_steps, x.shape[0] // grad_accum_steps) + x.shape[1:])
+
+            micro_batches = jax.tree.map(reshape, batch)
+
+            def accum(carry, micro):
+                g_acc, loss_acc, tok_acc = carry
+                (loss, n_tok), g = grad_fn(state.params, micro)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + loss, tok_acc + n_tok), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, loss_sum, tok_sum), _ = jax.lax.scan(
+                accum, (zeros, 0.0, jnp.zeros((), jnp.int32)), micro_batches
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum_steps, g_sum)
+            loss = loss_sum / grad_accum_steps
+            n_tok = tok_sum
+        else:
+            (loss, n_tok), grads = grad_fn(state.params, batch)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "num_tokens": n_tok, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(
+    train_step,
+    mesh,
+    state_shardings,
+    batch_shardings,
+):
+    """jit with explicit in/out shardings and donated state."""
+    return jax.jit(
+        train_step,
+        in_shardings=(state_shardings, batch_shardings),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,),
+    )
