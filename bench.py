@@ -1,0 +1,135 @@
+"""Benchmark: LLark decode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference serves LLark-7B on A100-class GPUs; realistic
+single-stream bf16 decode there is ~60 tok/s (BASELINE.md "A100-parity
+tokens/sec" north star). We measure jitted single-token decode steps
+(the serving hot loop) on the 7B architecture; if the chip cannot hold
+7B + cache, falls back to the MPT-1B-scale config and scales the
+baseline accordingly (A100 1B decode ~420 tok/s by the same bandwidth
+ratio).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(cfg_name: str):
+    from llark_tpu.config import ModelConfig
+    from llark_tpu.generate import make_decode_fn, make_prefill_fn
+    from llark_tpu.models.fusion import init_llark_params
+
+    if cfg_name == "7b":
+        cfg = ModelConfig(
+            vocab_size=32004,
+            hidden_size=4096,
+            intermediate_size=11008,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=32,
+            param_dtype="bfloat16",
+            dtype="bfloat16",
+            remat=False,
+        )
+        baseline = 60.0
+    else:
+        cfg = ModelConfig(
+            vocab_size=32004,
+            hidden_size=2048,
+            intermediate_size=5504,
+            num_layers=24,
+            num_heads=16,
+            num_kv_heads=16,
+            param_dtype="bfloat16",
+            dtype="bfloat16",
+            remat=False,
+        )
+        baseline = 420.0
+    return cfg, baseline
+
+
+def run(cfg_name: str):
+    from llark_tpu.generate import make_decode_fn, make_prefill_fn
+    from llark_tpu.models.decoder import init_kv_cache
+    from llark_tpu.models.fusion import init_llark_params
+
+    cfg, baseline = build(cfg_name)
+    MAX_LEN = 1024
+    PROMPT = 512
+    B = 1
+
+    params = jax.jit(
+        lambda k: init_llark_params(cfg, k), donate_argnums=()
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id=31999, max_cache_len=MAX_LEN))
+    decode = jax.jit(make_decode_fn(cfg), donate_argnums=(2,))
+
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 31996, size=(B, PROMPT)).astype(np.int32))
+    plen = jnp.full((B,), PROMPT, jnp.int32)
+    audio = jnp.asarray(rng.randn(B, 60, cfg.mm_hidden_size).astype(np.float32))
+    fcnt = jnp.full((B,), 60, jnp.int32)
+
+    # NOTE: on the axon tunnel jax.block_until_ready is async; device_get of
+    # a small output is the only reliable sync point.
+    def sync(x):
+        return jax.device_get(jnp.sum(x).astype(jnp.float32))
+
+    # TTFT (prefill)
+    logits, cache = prefill(params, ids, plen, audio, fcnt)
+    sync(logits)
+    t0 = time.perf_counter()
+    logits, _cache2 = prefill(params, ids, plen, audio, fcnt)
+    sync(logits)
+    ttft = time.perf_counter() - t0
+
+    token = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    # warm decode
+    lg, cache = decode(params, token, cache, plen)
+    sync(lg)
+    token = jnp.argmax(lg, -1).astype(jnp.int32)
+
+    N = 64
+    t0 = time.perf_counter()
+    for i in range(1, N + 1):
+        lg, cache = decode(params, token, cache, plen + i)
+        token = jnp.argmax(lg, -1).astype(jnp.int32)
+    sync(token)
+    dt = time.perf_counter() - t0
+    toks_per_s = N * B / dt
+    return cfg_name, toks_per_s, ttft, baseline
+
+
+def main():
+    for name in ("7b", "1b"):
+        try:
+            cfg_name, tps, ttft, baseline = run(name)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"llark_{cfg_name}_decode_tokens_per_sec",
+                        "value": round(tps, 2),
+                        "unit": "tokens/s",
+                        "vs_baseline": round(tps / baseline, 3),
+                        "ttft_ms": round(ttft * 1e3, 1),
+                    }
+                )
+            )
+            return
+        except Exception as e:  # noqa: BLE001 — fall back to smaller config
+            sys.stderr.write(f"bench {name} failed: {type(e).__name__}: {e}\n")
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
