@@ -1,0 +1,120 @@
+"""Checkpoint save/restore via orbax.
+
+Parity targets:
+  * HF-Trainer style periodic checkpoints with save_total_limit
+    (reference: scripts/training/train_llark.sh:42, save_total_limit 1);
+  * auto-resume from the latest checkpoint when present
+    (reference: m2t/train.py:255-260);
+  * separate mm_projector(+embed) export per save, consumed by the
+    adapter-pretrain -> full-finetune handoff
+    (reference: m2t/models/trainer.py:35-65, pretrain_mm_mlp_adapter);
+  * data-iterator state (seed, batches seen) saved alongside params.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from llark_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        save_total_limit: int = 1,
+        save_projector: bool = False,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max(1, save_total_limit), create=True
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self.save_projector = save_projector
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def save(self, step: int, state: TrainState, data_state: Optional[Dict] = None):
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if data_state is not None:
+            payload["data_state"] = data_state
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if self.save_projector:
+            self._save_projector(step, state.params)
+
+    def _save_projector(self, step: int, params: Dict[str, Any]):
+        """Side-save of adapter weights as a plain npz (host-readable without
+        orbax; mirrors mm_projector/checkpoint-N.bin)."""
+        proj_dir = os.path.join(self.directory, "mm_projector")
+        os.makedirs(proj_dir, exist_ok=True)
+        out = {}
+        if "mm_projector" in params:
+            out["mm_projector.kernel"] = np.asarray(params["mm_projector"]["kernel"])
+            out["mm_projector.bias"] = np.asarray(params["mm_projector"]["bias"])
+        out["embed"] = np.asarray(params["embed"])
+        np.savez(os.path.join(proj_dir, f"checkpoint-{step}.npz"), **out)
+
+    def restore(self, state: TrainState, step: Optional[int] = None):
+        """Restore into the (possibly sharded) structure of `state`.
+        Returns (TrainState, data_state|None)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+            data_state = None
+        except Exception:
+            template["data_state"] = {"seed": 0, "batches_seen": 0}
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+            data_state = restored.get("data_state")
+        new_state = state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        return new_state, data_state
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def load_projector_weights(path: str) -> Dict[str, np.ndarray]:
+    """Load a side-saved projector npz (pretrain_mm_mlp_adapter parity)."""
+    data = np.load(path)
+    return {k: data[k] for k in data.files}
+
+
+def apply_pretrained_projector(params: Dict[str, Any], weights: Dict[str, np.ndarray]):
+    """Merge side-saved projector(+embed) weights into a param tree."""
+    out = dict(params)
+    if "mm_projector.kernel" in weights:
+        out["mm_projector"] = {
+            "kernel": jax.numpy.asarray(weights["mm_projector.kernel"]),
+            "bias": jax.numpy.asarray(weights["mm_projector.bias"]),
+        }
+    if "embed" in weights:
+        out["embed"] = jax.numpy.asarray(weights["embed"])
+    return out

@@ -33,7 +33,7 @@ def lr_schedule(args: TrainingArguments) -> optax.Schedule:
             init_value=0.0,
             peak_value=args.learning_rate,
             warmup_steps=warmup,
-            decay_steps=args.max_steps,
+            decay_steps=max(args.max_steps, warmup + 1),
             end_value=0.0,
         )
     return optax.linear_schedule(args.learning_rate, args.learning_rate, 1)

@@ -1,0 +1,251 @@
+"""Training entry point: `python -m llark_tpu.train.train --flags...`
+
+Reference-parity orchestration (m2t/train.py:53-284):
+  model select by name (mpt -> MPT else Llama) .......... :62-75
+  freeze / adapter-tuning flags ......................... :79-106, 143-164
+  tokenizer + audio special tokens ...................... :108-126, 176-182
+  adapter (projector) init, optional pretrained load .... :128-137
+  sample-batch smoke test before training ............... :240-253
+  auto-resume from existing checkpoints ................. :255-260
+  periodic + final save (projector side-save) ........... trainer.py:35-65
+TPU-native replacements: GSPMD mesh instead of DDP launch; orbax instead
+of torch.save; one jitted step with grad accumulation inside.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from llark_tpu.config import (
+    DataArguments,
+    ModelArguments,
+    ModelConfig,
+    TrainingArguments,
+    parse_args,
+    write_args_to_file,
+)
+from llark_tpu.data.pipeline import make_data_module
+from llark_tpu.models.fusion import init_llark_params
+from llark_tpu.parallel.mesh import (
+    AXES,
+    make_mesh,
+    param_partition_specs,
+    shard_params,
+)
+from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+from llark_tpu.train.checkpoint import (
+    CheckpointManager,
+    apply_pretrained_projector,
+    load_projector_weights,
+)
+from llark_tpu.train.state import TrainState
+from llark_tpu.train.step import make_optimizer, make_train_step
+
+log = logging.getLogger("llark_tpu.train")
+
+
+def model_config_from_name(name: str, model_args: ModelArguments, training_args=None) -> ModelConfig:
+    """Select architecture by model name (reference: m2t/train.py:62-75)."""
+    kw: Dict[str, Any] = {"mm_hidden_size": model_args.mm_hidden_size}
+    lname = name.lower()
+    if "mpt" in lname:
+        return ModelConfig.mpt_1b(**kw)
+    if "tiny" in lname:
+        return ModelConfig.tiny(**kw)
+    return ModelConfig.llama2_7b(**kw)
+
+
+def build_tokenizer(model_args: ModelArguments, training_args: TrainingArguments) -> TokenizerBundle:
+    """Local-path HF tokenizer if available, WordTokenizer otherwise (this
+    environment has no network; reference used AutoTokenizer downloads,
+    m2t/tokenizer.py:22-38)."""
+    path = model_args.model_name_or_path
+    import os
+
+    if os.path.isdir(path):
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(
+                path, use_fast=False, padding_side="right"
+            )
+            return TokenizerBundle.from_tokenizer(tok, training_args.model_max_length)
+        except Exception as e:  # noqa: BLE001
+            log.warning("failed to load HF tokenizer from %s: %s", path, e)
+    return TokenizerBundle.from_tokenizer(
+        WordTokenizer(training_args.model_max_length)
+    )
+
+
+def smoke_test_batch(batch: Dict[str, np.ndarray]) -> None:
+    """Log shapes/dtypes of one batch before training
+    (reference: m2t/train.py:240-253)."""
+    for k, v in batch.items():
+        if hasattr(v, "shape"):
+            log.info("smoke batch %s: shape=%s dtype=%s", k, v.shape, v.dtype)
+    assert batch["input_ids"].ndim == 2
+    assert batch["audio_encodings"].ndim == 3
+
+
+def train(
+    model_args: ModelArguments,
+    data_args: DataArguments,
+    training_args: TrainingArguments,
+    *,
+    model_cfg: Optional[ModelConfig] = None,
+    max_steps_override: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Run training; returns summary dict (for tests / callers)."""
+    # jax import already ran basicConfig; configure our logger explicitly
+    pkg_log = logging.getLogger("llark_tpu")
+    pkg_log.setLevel(logging.INFO)
+    pkg_log.propagate = False  # avoid duplicate lines via jax's root handler
+    if not pkg_log.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("[%(asctime)s %(name)s] %(message)s"))
+        pkg_log.addHandler(h)
+    write_args_to_file([model_args, data_args, training_args], training_args.output_dir)
+
+    cfg = model_cfg or model_config_from_name(
+        model_args.model_name_or_path, model_args
+    )
+    cfg.use_audio_start_end = model_args.mm_use_audio_start_end
+    bundle = build_tokenizer(model_args, training_args)
+    if cfg.vocab_size < len(bundle.tokenizer):
+        cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+
+    mesh = make_mesh(tuple(training_args.mesh_shape)) if np.prod(
+        training_args.mesh_shape
+    ) > 1 else make_mesh((1, len(jax.devices()), 1))
+
+    params = init_llark_params(cfg, jax.random.PRNGKey(training_args.seed))
+    if model_args.pretrain_mm_mlp_adapter:
+        params = apply_pretrained_projector(
+            params, load_projector_weights(model_args.pretrain_mm_mlp_adapter)
+        )
+    specs = param_partition_specs(cfg)
+    params = shard_params(mesh, params, specs)
+
+    optimizer = make_optimizer(
+        training_args,
+        params,
+        freeze_backbone=model_args.freeze_backbone,
+        tune_mm_mlp_adapter=model_args.tune_mm_mlp_adapter,
+    )
+
+    def ensure_on_mesh(x):
+        """Replicate any leaf not already laid out on this mesh (opt counts,
+        step scalars, freshly-restored arrays)."""
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    state = jax.tree.map(ensure_on_mesh, TrainState.create(params, optimizer))
+
+    # trainable_token_start: only the 3 appended audio tokens' embedding rows
+    # receive gradients during adapter tuning (reference llamav2.py:176-198)
+    trainable_start = (
+        len(bundle.tokenizer) - 3 if model_args.tune_mm_mlp_adapter else None
+    )
+
+    max_steps = max_steps_override or training_args.max_steps
+    train_step = make_train_step(
+        cfg,
+        optimizer,
+        audio_patch_id=bundle.audio_patch_id,
+        grad_accum_steps=training_args.gradient_accumulation_steps,
+        trainable_token_start=trainable_start,
+    )
+    step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+    ckpt = CheckpointManager(
+        training_args.output_dir,
+        save_total_limit=training_args.save_total_limit,
+        save_projector=model_args.tune_mm_mlp_adapter,
+    )
+    start_step = 0
+    if training_args.resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, _ = restored
+            state = jax.tree.map(ensure_on_mesh, state)
+            start_step = int(state.step)
+            log.info("resumed from checkpoint at step %d", start_step)
+
+    global_batch = (
+        training_args.per_device_train_batch_size
+        * training_args.gradient_accumulation_steps
+        * mesh.devices.size
+    )
+    data_module = make_data_module(
+        bundle,
+        data_args,
+        batch_size=global_batch,
+        max_seq_len=training_args.model_max_length,
+        mm_hidden_size=cfg.mm_hidden_size,
+        seed=training_args.seed,
+    )
+    iterator = data_module["train_iterator"]()
+
+    def put(batch):
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(AXES.batch, *([None] * (x.ndim - 1))))
+            ),
+            arrays,
+        )
+
+    history = []
+    t_start = time.time()
+    with mesh:
+        first = True
+        for i, batch in enumerate(iterator):
+            step_i = start_step + i
+            if step_i >= max_steps:
+                break
+            if first:
+                smoke_test_batch(batch)
+                first = False
+            state, metrics = step_fn(state, put(batch))
+            if step_i % training_args.logging_steps == 0:
+                loss = float(metrics["loss"])
+                history.append(loss)
+                log.info(
+                    "step %d loss %.4f grad_norm %.3f",
+                    step_i,
+                    loss,
+                    float(metrics["grad_norm"]),
+                )
+            if (step_i + 1) % training_args.save_steps == 0:
+                ckpt.save(step_i + 1, state, {"seed": training_args.seed, "batches_seen": step_i + 1})
+
+    final_step = int(state.step)
+    if final_step > start_step:
+        ckpt.save(final_step, state, {"seed": training_args.seed, "batches_seen": final_step})
+    ckpt.wait()
+    return {
+        "final_step": final_step,
+        "losses": history,
+        "wall_s": time.time() - t_start,
+        "state": state,
+        "cfg": cfg,
+        "bundle": bundle,
+    }
+
+
+def main(argv=None):
+    model_args, data_args, training_args = parse_args(argv)
+    train(model_args, data_args, training_args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Data pipeline tests: shards, tar reader/writer, end-to-end batching."""
+
+import json
+import os
+import random
+import tarfile
+
+import numpy as np
+import pytest
+
+from llark_tpu.config import DataArguments
+from llark_tpu.data.pipeline import (
+    PrefetchIterator,
+    collate,
+    example_to_arrays,
+    make_dataset_iterator,
+    sample_to_conversations,
+    shuffled,
+)
+from llark_tpu.data.shards import (
+    braceexpand,
+    expand_url_to_file_list,
+    repeat_shards,
+    shard_sample_probs,
+    split_by_host,
+)
+from llark_tpu.data.webdataset import TarShardReader, TarShardWriter
+from llark_tpu.special_tokens import IGNORE_INDEX
+from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+
+def test_braceexpand():
+    assert braceexpand("shard-{000..003}.tar") == [
+        "shard-000.tar",
+        "shard-001.tar",
+        "shard-002.tar",
+        "shard-003.tar",
+    ]
+    assert braceexpand("x-{a,b}.tar") == ["x-a.tar", "x-b.tar"]
+    assert braceexpand("plain.tar") == ["plain.tar"]
+    assert expand_url_to_file_list("a-{0..1}.tar,b.tar") == [
+        "a-0.tar",
+        "a-1.tar",
+        "b.tar",
+    ]
+
+
+def test_task_probs():
+    urls = ["captioning-0.tar", "reasoning-0.tar", "mir-0.tar"]
+    probs = shard_sample_probs(
+        urls, {"captioning": 0.15, "reasoning": 0.55, "mir": 0.30}
+    )
+    np.testing.assert_allclose(probs, [0.15, 0.55, 0.30])
+    with pytest.raises(ValueError):
+        shard_sample_probs(["unknown.tar"], {"mir": 1.0})
+
+    reps = repeat_shards(urls, {"captioning": 0.15, "reasoning": 0.55, "mir": 0.30})
+    assert len(reps) == 1024 * 3
+    frac_reasoning = sum("reasoning" in r for r in reps) / len(reps)
+    assert 0.5 < frac_reasoning < 0.6
+
+
+def test_split_by_host():
+    urls = [f"s{i}" for i in range(10)]
+    a = split_by_host(urls, 0, 2)
+    b = split_by_host(urls, 1, 2)
+    assert sorted(a + b) == sorted(urls)
+    assert not set(a) & set(b)
+
+
+def make_shard(tmp_path, n=4, n_qa=2, t_frames=5, mm=8, name="mir-shard-%05d.tar"):
+    writer = TarShardWriter(str(tmp_path / name), max_count=1000)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        writer.write(
+            {
+                "__key__": f"track-{i:03d}",
+                "json": {
+                    "response": [
+                        {"question": f"what is q{j} ?", "answer": f"answer {j} ."}
+                        for j in range(n_qa)
+                    ]
+                },
+                "audio_encoding.pyd": rng.randn(t_frames, mm).astype(np.float32),
+            }
+        )
+    writer.close()
+    return writer.written_paths[0]
+
+
+def test_tar_roundtrip(tmp_path):
+    path = make_shard(tmp_path)
+    samples = list(TarShardReader([path]))
+    assert len(samples) == 4
+    s = samples[0]
+    assert s["__key__"] == "track-000"
+    assert len(s["json"]["response"]) == 2
+    assert s["audio_encoding.pyd"].shape == (5, 8)
+
+
+def test_corrupt_shard_skipped(tmp_path):
+    good = make_shard(tmp_path)
+    bad = str(tmp_path / "bad.tar")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a tar file at all" * 10)
+    samples = list(TarShardReader([bad, good]))
+    assert len(samples) == 4  # bad shard skipped, good one read
+
+
+def test_sample_to_conversations():
+    rng = random.Random(0)
+    sample = {
+        "__key__": "k",
+        "json": {"response": [{"question": "q?", "answer": "a."}]},
+        "audio_encoding.pyd": np.zeros((3, 4), np.float32),
+    }
+    convs = list(sample_to_conversations(sample, rng))
+    assert len(convs) == 1
+    assert "<audio>" in convs[0]["conversations"][0]["value"]
+    assert convs[0]["conversations"][1]["value"] == "a."
+
+    # invalid: no response
+    assert list(sample_to_conversations({"__key__": "x", "json": {}}, rng)) == []
+
+
+def test_end_to_end_pipeline(tmp_path):
+    mm = 8
+    make_shard(tmp_path, n=6, n_qa=3, t_frames=5, mm=mm)
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    args = DataArguments(
+        train_data_path=str(tmp_path / "mir-shard-{00000..00000}.tar"),
+        max_audio_frames=6,
+        task_sample_probs={"mir": 1.0},
+    )
+    it = make_dataset_iterator(
+        args.train_data_path,
+        bundle,
+        args,
+        batch_size=4,
+        max_seq_len=96,
+        mm_hidden_size=mm,
+        is_train=True,
+        seed=0,
+        max_batches=3,
+    )
+    batches = list(it)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["input_ids"].shape == (4, 96)
+    assert b["labels"].shape == (4, 96)
+    assert b["audio_encodings"].shape == (4, 6, mm)
+    # each row has exactly num_frames patch tokens
+    for i in range(4):
+        n_patch = int((b["input_ids"][i] == bundle.audio_patch_id).sum())
+        assert n_patch == b["audio_frame_counts"][i]
+    # labels: header masked, some supervised tokens exist
+    assert (b["labels"][0][:5] == IGNORE_INDEX).all()
+    assert (b["labels"][0] != IGNORE_INDEX).any()
+
+
+def test_audio_frame_truncation(tmp_path):
+    """Encodings longer than max_audio_frames are truncated consistently."""
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(256))
+    ex = {
+        "id": "x",
+        "audio_encoding": np.ones((50, 4), np.float32),
+        "conversations": [
+            {"from": "human", "value": "<audio>\nquestion ?"},
+            {"from": "gpt", "value": "answer ."},
+        ],
+    }
+    arrays = example_to_arrays(ex, bundle, max_audio_frames=8)
+    assert arrays["num_frames"] == 8
+    assert arrays["audio_encoding"].shape == (8, 4)
+    assert int((arrays["input_ids"] == bundle.audio_patch_id).sum()) == 8
+
+
+def test_prefetch_iterator_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = PrefetchIterator(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+
+def test_shuffled_is_permutation():
+    rng = random.Random(0)
+    out = list(shuffled(iter(range(100)), buffer_size=10, rng=rng))
+    assert sorted(out) == list(range(100))
+    assert out != list(range(100))
