@@ -1,0 +1,57 @@
+"""Batch inference over a directory of .npy audio encodings -> CSV.
+
+Parity: scripts/inference/infer_from_encodings.py. Usage:
+
+  python -m llark_tpu.inference.from_encodings \
+      --checkpoint-dir ckpt --encodings-dir /path/to/npys \
+      --prompt "Describe the audio." --output results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from llark_tpu.infer import batch_infer
+from llark_tpu.inference.common import load_generator, write_results_csv
+from llark_tpu.models.utils import load_pretrained_model
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--ckpt-num", type=int, default=None)
+    p.add_argument("--encodings-dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--prompt", default="Describe the audio.")
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max-cache-len", type=int, default=2048)
+    p.add_argument("--max-audio-frames", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
+    gen = load_generator(args, bundle, cfg, params)
+
+    files = sorted(glob.glob(os.path.join(args.encodings_dir, "*.npy")))
+    if args.max_samples:
+        files = files[: args.max_samples]
+    rows = [
+        {
+            "example_id": os.path.splitext(os.path.basename(f))[0],
+            "prompt": args.prompt,
+            "audio_encoding": np.load(f),
+        }
+        for f in files
+    ]
+    results = batch_infer(rows, gen, bundle, max_audio_frames=args.max_audio_frames)
+    write_results_csv(args.output, results)
+    print(f"wrote {len(results)} rows to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

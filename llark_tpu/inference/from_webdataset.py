@@ -1,0 +1,77 @@
+"""Batch inference over WebDataset eval shards -> CSV.
+
+Parity: scripts/inference/infer_from_webdataset.py. Usage:
+
+  python -m llark_tpu.inference.from_webdataset \
+      --checkpoint-dir /path/to/ckpt --input 'eval-{000..003}.tar' \
+      --output results.csv [--prompt "..."] [--max-samples N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import numpy as np
+
+from llark_tpu.data.shards import expand_url_to_file_list
+from llark_tpu.data.webdataset import TarShardReader
+from llark_tpu.infer import batch_infer
+from llark_tpu.inference.common import load_generator, write_results_csv
+from llark_tpu.models.utils import load_pretrained_model
+
+log = logging.getLogger(__name__)
+
+
+def iter_eval_rows(urls, max_samples=None):
+    n = 0
+    for sample in TarShardReader(urls):
+        js = sample.get("json") or {}
+        enc = sample.get("audio_encoding.pyd")
+        if enc is None:
+            enc = sample.get("audio_encoding.npy")
+        if enc is None:
+            continue
+        responses = js.get("response") or [{}]
+        first = responses[0] if isinstance(responses, list) else {}
+        yield {
+            "example_id": sample["__key__"],
+            "prompt": first.get("question"),
+            "response": first.get("answer", ""),
+            "audio_encoding": np.asarray(enc, np.float32),
+        }
+        n += 1
+        if max_samples is not None and n >= max_samples:
+            return
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--ckpt-num", type=int, default=None)
+    p.add_argument("--input", required=True, help="shard url pattern")
+    p.add_argument("--output", required=True, help="output csv path")
+    p.add_argument("--prompt", default=None, help="override prompt for all rows")
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--max-cache-len", type=int, default=2048)
+    p.add_argument("--max-audio-frames", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
+    gen = load_generator(args, bundle, cfg, params)
+    urls = expand_url_to_file_list(args.input)
+    rows = list(iter_eval_rows(urls, args.max_samples))
+    log.info("running inference over %d rows", len(rows))
+    results = batch_infer(
+        rows, gen, bundle,
+        prompt_override=args.prompt,
+        max_audio_frames=args.max_audio_frames,
+    )
+    write_results_csv(args.output, results)
+    print(f"wrote {len(results)} rows to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -264,3 +264,15 @@ class WordTokenizer:
 
     def __len__(self) -> int:
         return len(self._vocab)
+
+    def to_dict(self) -> Dict:
+        return {"model_max_length": self.model_max_length, "vocab": dict(self._vocab)}
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "WordTokenizer":
+        tok = cls(d.get("model_max_length", 512))
+        # re-intern in id order to reproduce the exact mapping
+        for t, _ in sorted(d["vocab"].items(), key=lambda kv: kv[1]):
+            tok._intern(t)
+        assert tok._vocab == d["vocab"], "vocab reload mismatch"
+        return tok

@@ -121,6 +121,10 @@ def train(
     if cfg.vocab_size < len(bundle.tokenizer):
         cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
 
+    from llark_tpu.models.utils import save_model_metadata
+
+    save_model_metadata(training_args.output_dir, cfg, bundle)
+
     mesh = make_mesh(tuple(training_args.mesh_shape)) if np.prod(
         training_args.mesh_shape
     ) > 1 else make_mesh((1, len(jax.devices()), 1))

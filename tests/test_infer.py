@@ -1,0 +1,141 @@
+"""Inference layer tests: checkpoint load, infer_with_prompt, CSV CLIs."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from llark_tpu.config import DataArguments, ModelArguments, TrainingArguments
+from llark_tpu.data.webdataset import TarShardWriter
+from llark_tpu.generate import GenerationConfig, Generator
+from llark_tpu.infer import batch_infer, build_prompt_ids, infer_with_prompt
+from llark_tpu.models.utils import load_pretrained_model
+from llark_tpu.train.train import train
+
+MM = 16
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("infer")
+    w = TarShardWriter(str(tmp / "mir-train-%05d.tar"), max_count=100)
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        w.write(
+            {
+                "__key__": f"t{i:03d}",
+                "json": {
+                    "response": [{"question": "what genre ?", "answer": "jazz ."}]
+                },
+                "audio_encoding.pyd": rng.randn(5, MM).astype(np.float32),
+            }
+        )
+    w.close()
+    model_args = ModelArguments(model_name_or_path="tiny", mm_hidden_size=MM)
+    data_args = DataArguments(
+        train_data_path=str(tmp / "mir-train-00000.tar"),
+        max_audio_frames=6,
+        task_sample_probs={"mir": 1.0},
+    )
+    training_args = TrainingArguments(
+        output_dir=str(tmp / "ckpt"),
+        per_device_train_batch_size=2,
+        gradient_accumulation_steps=1,
+        model_max_length=96,
+        max_steps=2,
+        save_steps=2,
+        mesh_shape=(1, 1, 1),
+        seed=0,
+    )
+    train(model_args, data_args, training_args)
+    return tmp
+
+
+def test_load_pretrained_model(trained_ckpt):
+    cfg, params, bundle = load_pretrained_model(str(trained_ckpt / "ckpt"))
+    assert cfg.mm_hidden_size == MM
+    assert "mm_projector" in params
+    assert params["embed"].shape[0] == cfg.vocab_size
+
+
+def test_infer_with_prompt(trained_ckpt):
+    cfg, params, bundle = load_pretrained_model(str(trained_ckpt / "ckpt"))
+    gen = Generator(
+        cfg,
+        params,
+        audio_patch_id=bundle.audio_patch_id,
+        gen_cfg=GenerationConfig(max_new_tokens=8, stop_text="###"),
+        max_cache_len=256,
+    )
+    enc = np.random.RandomState(1).randn(5, MM).astype(np.float32)
+    text = infer_with_prompt("what genre ?", enc, gen, bundle)
+    assert isinstance(text, str)
+
+
+def test_build_prompt_ids_ends_at_assistant(trained_ckpt):
+    cfg, params, bundle = load_pretrained_model(str(trained_ckpt / "ckpt"))
+    ids = build_prompt_ids("what genre ?", 5, bundle)
+    text = bundle.decode(ids)
+    assert text.rstrip().endswith("Assistant:") or text.rstrip().endswith("Assistant :")
+    n_patch = sum(1 for i in ids if i == bundle.audio_patch_id)
+    assert n_patch == 5
+
+
+def test_infer_from_webdataset_cli(trained_ckpt, tmp_path):
+    from llark_tpu.inference.from_webdataset import main
+
+    out_csv = str(tmp_path / "results.csv")
+    main(
+        [
+            "--checkpoint-dir",
+            str(trained_ckpt / "ckpt"),
+            "--input",
+            str(trained_ckpt / "mir-train-00000.tar"),
+            "--output",
+            out_csv,
+            "--max-samples",
+            "2",
+            "--max-new-tokens",
+            "4",
+            "--max-cache-len",
+            "256",
+        ]
+    )
+    with open(out_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert rows[0]["example_id"] == "t000"
+    assert rows[0]["prompt"] == "what genre ?"
+    assert set(rows[0]) == {"example_id", "prompt", "response", "model_completion"}
+
+
+def test_infer_from_encodings_cli(trained_ckpt, tmp_path):
+    from llark_tpu.inference.from_encodings import main
+
+    enc_dir = tmp_path / "encs"
+    os.makedirs(enc_dir)
+    rng = np.random.RandomState(2)
+    for i in range(2):
+        np.save(enc_dir / f"clip{i}.npy", rng.randn(5, MM).astype(np.float32))
+    out_csv = str(tmp_path / "enc_results.csv")
+    main(
+        [
+            "--checkpoint-dir",
+            str(trained_ckpt / "ckpt"),
+            "--encodings-dir",
+            str(enc_dir),
+            "--output",
+            out_csv,
+            "--prompt",
+            "describe this .",
+            "--max-new-tokens",
+            "4",
+            "--max-cache-len",
+            "256",
+        ]
+    )
+    with open(out_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert rows[0]["example_id"] == "clip0"
