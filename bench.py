@@ -110,25 +110,73 @@ def run(cfg_name: str):
     return cfg_name, toks_per_s, ttft, baseline
 
 
+def run_jukebox():
+    """Headline metric: Jukebox-embedding clips/s/chip.
+
+    Baseline: 0.22 clips/s per V100 Dataflow worker (BASELINE.md; reference
+    README "100k files < 1 hour" on 128 GPUs). Random weights — throughput
+    depends only on architecture shapes."""
+    import numpy as np
+
+    from llark_tpu.encoders.jukebox import (
+        JukeboxEncoder,
+        JukeboxPriorConfig,
+        JukeboxVQVAEConfig,
+    )
+
+    enc = JukeboxEncoder.random_init(
+        JukeboxVQVAEConfig(),
+        JukeboxPriorConfig(dtype="bfloat16"),
+        pool_frames_per_second=10.0,
+    )
+    B = 6
+    audio = np.random.RandomState(0).randn(B, enc.samples_per_ctx).astype(np.float32)
+    enc.encode_batch(audio)  # compile
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enc.encode_batch(audio)  # encode_batch device_gets -> real sync
+        best = max(best, B / (time.perf_counter() - t0))
+    return best
+
+
 def main():
+    out = None
+    try:
+        clips_per_s = run_jukebox()
+        out = {
+            "metric": "jukebox_embed_clips_per_sec_per_chip",
+            "value": round(clips_per_s, 3),
+            "unit": "clips/s/chip",
+            "vs_baseline": round(clips_per_s / 0.22, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"jukebox bench failed: {type(e).__name__}: {e}\n")
+
     for name in ("7b", "1b"):
         try:
             cfg_name, tps, ttft, baseline = run(name)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"llark_{cfg_name}_decode_tokens_per_sec",
-                        "value": round(tps, 2),
-                        "unit": "tokens/s",
-                        "vs_baseline": round(tps / baseline, 3),
-                        "ttft_ms": round(ttft * 1e3, 1),
-                    }
-                )
-            )
-            return
-        except Exception as e:  # noqa: BLE001 — fall back to smaller config
+            decode = {
+                f"llark_{cfg_name}_decode_tokens_per_sec": round(tps, 2),
+                f"llark_{cfg_name}_decode_vs_a100": round(tps / baseline, 3),
+                "ttft_ms": round(ttft * 1e3, 1),
+            }
+            if out is None:
+                out = {
+                    "metric": f"llark_{cfg_name}_decode_tokens_per_sec",
+                    "value": round(tps, 2),
+                    "unit": "tokens/s",
+                    "vs_baseline": round(tps / baseline, 3),
+                }
+            else:
+                out.update(decode)
+            break
+        except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"bench {name} failed: {type(e).__name__}: {e}\n")
-    sys.exit(1)
+
+    if out is None:
+        sys.exit(1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,162 @@
+"""Jukebox embedding-extraction pipeline (audio -> [T_pooled, 4800]).
+
+Behavior parity with reference jukebox/main.py:
+  SR=44100, window=2^20 samples, T=8192 activation frames ...... :10-22
+  load: mono mean, peak-normalize ............................. :29-45
+  pad to 2^20 ................................................. :48-51
+  VQ-VAE top-level codes ...................................... :54-68
+  prior only-encode activations [8192, 4800] .................. :101-110
+  truncate to floor(T * input_len / 2^20) ..................... :154
+  mean-pool windows of frame_len = floor(345.654/fps) ......... :113-131
+
+TPU-first: one jitted graph runs codes+activations+pooling for a whole
+batch of clips; ragged true lengths ride along as frame counts (static
+shapes, per-row masks) instead of per-file Python trimming. The reference
+achieves ~0.22 clips/s/GPU on V100 workers (BASELINE.md); batching across
+clips on one chip is the main throughput lever.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from math import floor
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llark_tpu.encoders.jukebox.config import JukeboxPriorConfig, JukeboxVQVAEConfig
+from llark_tpu.encoders.jukebox.prior import prior_encode
+from llark_tpu.encoders.jukebox.vqvae import encode_top
+
+JUKEBOX_SAMPLE_RATE = 44100
+JUKEBOX_EXPECTED_SAMPLES_LEN = 1048576  # 2^20
+JUKEBOX_SAMPLE_SECONDS = JUKEBOX_EXPECTED_SAMPLES_LEN / JUKEBOX_SAMPLE_RATE
+T_ACTS = 8192
+ACTS_SAMPLE_RATE = T_ACTS / JUKEBOX_SAMPLE_SECONDS  # ~345.654 Hz
+
+
+class EmptyFileError(ValueError):
+    pass
+
+
+def prepare_audio(audio: np.ndarray) -> np.ndarray:
+    """Mono-mean, peak-normalize, flatten (reference :29-45)."""
+    audio = np.asarray(audio, np.float32)
+    if audio.ndim == 2:
+        audio = audio.mean(axis=0)
+    norm = np.abs(audio).max()
+    if norm > 0:
+        audio = audio / norm
+    return audio.flatten()
+
+
+def pad_or_crop(audio: np.ndarray) -> np.ndarray:
+    if len(audio) < JUKEBOX_EXPECTED_SAMPLES_LEN:
+        audio = np.pad(audio, (0, JUKEBOX_EXPECTED_SAMPLES_LEN - len(audio)))
+    return audio[:JUKEBOX_EXPECTED_SAMPLES_LEN]
+
+
+def pooled_frame_len(pool_frames_per_second: float) -> int:
+    return floor(ACTS_SAMPLE_RATE / pool_frames_per_second)  # fps=10 -> 34
+
+
+def windowed_average(acts: jnp.ndarray, frame_len: int) -> jnp.ndarray:
+    """[..., T, D] -> [..., T//frame_len, D]; floor mode (drop remainder),
+    matching AvgPool1d(kernel=stride=frame_len) (reference :113-131)."""
+    t = acts.shape[-2]
+    n_out = t // frame_len
+    trimmed = acts[..., : n_out * frame_len, :]
+    shape = trimmed.shape[:-2] + (n_out, frame_len, trimmed.shape[-1])
+    return trimmed.reshape(shape).mean(axis=-2)
+
+
+@dataclasses.dataclass
+class JukeboxEncoder:
+    """Batched, jitted Jukebox embedding extractor."""
+
+    vq_cfg: JukeboxVQVAEConfig
+    prior_cfg: JukeboxPriorConfig
+    vq_params: Dict[str, Any]
+    prior_params: Dict[str, Any]
+    x_cond: Optional[np.ndarray] = None  # [1, n_ctx, width] timing conditioning
+    y_cond: Optional[np.ndarray] = None  # [1, 1, width] artist/genre start emb
+    pool_frames_per_second: Optional[float] = 10.0
+
+    def __post_init__(self):
+        frame_len = (
+            pooled_frame_len(self.pool_frames_per_second)
+            if self.pool_frames_per_second
+            else None
+        )
+
+        def _encode(vq_params, prior_params, audio):
+            codes = encode_top(self.vq_cfg, vq_params, audio)  # [N, T]
+            codes = codes[:, : self.prior_cfg.n_ctx]
+            acts = prior_encode(
+                self.prior_cfg,
+                prior_params,
+                codes,
+                None if self.x_cond is None else jnp.asarray(self.x_cond),
+                None if self.y_cond is None else jnp.asarray(self.y_cond),
+            )  # [N, n_ctx, width] fp32
+            if frame_len is not None:
+                acts = windowed_average(acts, frame_len)
+            return acts
+
+        self._encode = jax.jit(_encode)
+        self._frame_len = frame_len
+
+    @classmethod
+    def random_init(cls, vq_cfg=None, prior_cfg=None, seed=0, **kw):
+        """Random-weight encoder (tests / throughput benchmarking)."""
+        from llark_tpu.encoders.jukebox.vqvae import init_vqvae_params
+        from llark_tpu.encoders.jukebox.prior import init_prior_params
+
+        vq_cfg = vq_cfg or JukeboxVQVAEConfig()
+        prior_cfg = prior_cfg or JukeboxPriorConfig()
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        # jit the whole init: one compiled program instead of hundreds of
+        # eagerly-dispatched RNG ops (very slow through the axon tunnel)
+        vq_params = jax.jit(lambda k: init_vqvae_params(vq_cfg, k))(k1)
+        prior_params = jax.jit(lambda k: init_prior_params(prior_cfg, k))(k2)
+        return cls(vq_cfg, prior_cfg, vq_params, prior_params, **kw)
+
+    @property
+    def samples_per_ctx(self) -> int:
+        """Raw samples covered by one prior context window."""
+        return self.prior_cfg.n_ctx * self.vq_cfg.hop_lengths[-1]
+
+    def encode_batch(
+        self, audio: np.ndarray, input_lengths: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """audio [N, samples_per_ctx] (already prepared+padded);
+        input_lengths [N] true sample counts. Returns
+        (acts [N, T_out, width] fp32, frame_counts [N])."""
+        n = audio.shape[0]
+        if input_lengths is None:
+            input_lengths = np.full((n,), audio.shape[1], np.int64)
+        acts = np.asarray(self._encode(self.vq_params, self.prior_params, jnp.asarray(audio)))
+        t_ctx = self.prior_cfg.n_ctx
+        window = self.samples_per_ctx
+        latent_lens = np.floor(t_ctx * np.asarray(input_lengths) / window).astype(np.int64)
+        if self._frame_len is not None:
+            counts = latent_lens // self._frame_len
+        else:
+            counts = latent_lens
+        return acts, counts
+
+    def get_acts_from_audio(
+        self, audio: np.ndarray, meanpool: bool = True
+    ) -> np.ndarray:
+        """Single-clip API mirroring get_acts_from_file (reference :133-173):
+        returns trimmed numpy activations."""
+        prepared = prepare_audio(audio)
+        input_len = min(len(prepared), self.samples_per_ctx)
+        padded = pad_or_crop(prepared)
+        acts, counts = self.encode_batch(padded[None], np.array([input_len]))
+        out = acts[0, : counts[0]]
+        if meanpool and self.pool_frames_per_second is None:
+            out = out.mean(axis=0)
+        return out

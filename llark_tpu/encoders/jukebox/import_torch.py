@@ -1,0 +1,207 @@
+"""Import openai/jukebox 5B checkpoint weights into our param layout.
+
+Usage (offline, wherever the public checkpoints are on disk):
+
+  python -m llark_tpu.encoders.jukebox.import_torch \
+      --vqvae vqvae.pth.tar --prior prior_level_2.pth.tar \
+      --depth 36 --output jukebox5b_36.npz \
+      [--conds conds.npz]   # optional captured x_cond/y_cond arrays
+
+The reference loads the full 72-layer prior with strict=False after
+patching prior_depth=36 (reference: jukebox/make_models.py.patch,
+jukebox/main.py:188-199) — i.e. layers >= 36 are simply dropped. This
+importer does the same truncation explicitly.
+
+Name mapping (openai/jukebox state dicts -> ours):
+  VQ-VAE (encoders only):
+    encoders.{l}.level_blocks.{l2}.model.{i}.*   downsample convs + resnets
+    bottleneck.level_blocks.{l}.k                codebook [bins, emb]
+  Prior (prior.* inside the checkpoint, 'module.' stripped):
+    prior.x_emb.weight                 [bins, width]
+    prior.pos_emb.pos_emb              [n_ctx, width]
+    prior.transformer._attn_mods.{d}.{ln_0,attn.c_attn,attn.c_proj,
+                                      ln_1,mlp.c_fc,mlp.c_proj}.*
+  jukebox Conv1D stores w as [n_in, n_out] (x @ w), matching our layout.
+
+Conditioning (x_cond/y_cond for the fixed dummy metadata the reference
+uses, jukebox/main.py:71-98) is a per-checkpoint constant; pass --conds
+with arrays captured once from the torch side, or omit for zeros.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+from llark_tpu.encoders.jukebox.config import JukeboxPriorConfig, JukeboxVQVAEConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().float().numpy()
+    return np.asarray(t, np.float32)
+
+
+def strip_module(sd: Dict[str, Any]) -> Dict[str, Any]:
+    return {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+
+def convert_vqvae(sd: Dict[str, Any], cfg: JukeboxVQVAEConfig) -> Dict[str, Any]:
+    """Map encoder + bottleneck tensors into our vqvae param tree."""
+    sd = strip_module(sd)
+    levels = []
+    for level in range(cfg.levels):
+        # jukebox Encoder holds per-level blocks; encoders.{level} has
+        # level_blocks.{0..level}; the *last* block is the new stage chain
+        # for this level. Model indices: per down stage one DownsampleConv
+        # then resnet; final proj conv at the end.
+        block_prefix = f"encoders.{level}.level_blocks.{level}"
+        stages = []
+        for stage_idx in range(cfg.downs_t[level]):
+            base = f"{block_prefix}.model.{stage_idx}"
+            stage = {
+                "down_w": _np(sd[f"{base}.0.weight"]),
+                "down_b": _np(sd[f"{base}.0.bias"]),
+                "res": [],
+            }
+            for d in range(cfg.depth):
+                rbase = f"{base}.1.model.{d}.model"
+                stage["res"].append(
+                    {
+                        "w1": _np(sd[f"{rbase}.1.weight"]),
+                        "b1": _np(sd[f"{rbase}.1.bias"]),
+                        "w2": _np(sd[f"{rbase}.3.weight"]),
+                        "b2": _np(sd[f"{rbase}.3.bias"]),
+                    }
+                )
+            stages.append(stage)
+        proj_key = f"{block_prefix}.model.{cfg.downs_t[level]}"
+        levels.append(
+            {
+                "stages": stages,
+                "proj_w": _np(sd[f"{proj_key}.weight"]),
+                "proj_b": _np(sd[f"{proj_key}.bias"]),
+            }
+        )
+    codebooks = []
+    for level in range(cfg.levels):
+        k = _np(sd[f"bottleneck.level_blocks.{level}.k"])
+        if k.shape[0] == cfg.emb_width:  # stored [emb, bins] -> [bins, emb]
+            k = k.T
+        codebooks.append(k)
+    return {"levels": levels, "codebooks": codebooks}
+
+
+def convert_prior(sd: Dict[str, Any], cfg: JukeboxPriorConfig) -> Dict[str, Any]:
+    sd = strip_module(sd)
+    # accept either 'prior.' or bare prefixes
+    def get(name):
+        for prefix in ("prior.", ""):
+            key = prefix + name
+            if key in sd:
+                return _np(sd[key])
+        raise KeyError(name)
+
+    assert cfg.depth % 3 == 0
+    cycles = cfg.depth // 3
+    names = {
+        "ln0_g": "ln_0.weight", "ln0_b": "ln_0.bias",
+        "attn_w": "attn.c_attn.w", "attn_b": "attn.c_attn.b",
+        "proj_w": "attn.c_proj.w", "proj_b": "attn.c_proj.b",
+        "ln1_g": "ln_1.weight", "ln1_b": "ln_1.bias",
+        "fc_w": "mlp.c_fc.w", "fc_b": "mlp.c_fc.b",
+        "mlp_proj_w": "mlp.c_proj.w", "mlp_proj_b": "mlp.c_proj.b",
+    }
+    layers: Dict[str, list] = {k: [] for k in names}
+    for cyc in range(cycles):
+        row = {k: [] for k in names}
+        for i in range(3):
+            d = cyc * 3 + i
+            for ours, theirs in names.items():
+                row[ours].append(get(f"transformer._attn_mods.{d}.{theirs}"))
+        for k in names:
+            layers[k].append(np.stack(row[k]))
+    stacked = {k: np.stack(v) for k, v in layers.items()}  # [cycles, 3, ...]
+    return {
+        "x_emb": get("x_emb.weight"),
+        "pos_emb": get("pos_emb.pos_emb"),
+        "layers": stacked,
+    }
+
+
+def infer_prior_config(sd: Dict[str, Any], depth: int = 36) -> JukeboxPriorConfig:
+    sd = strip_module(sd)
+    def shape(name):
+        for prefix in ("prior.", ""):
+            if prefix + name in sd:
+                t = sd[prefix + name]
+                return tuple(getattr(t, "shape", np.shape(t)))
+        raise KeyError(name)
+
+    bins, width = shape("x_emb.weight")
+    n_ctx, _ = shape("pos_emb.pos_emb")
+    _, attn3 = shape("transformer._attn_mods.0.attn.c_attn.w")
+    _, mlp_w = shape("transformer._attn_mods.0.mlp.c_fc.w")
+    return JukeboxPriorConfig(
+        n_ctx=int(n_ctx),
+        width=int(width),
+        depth=depth,
+        bins=int(bins),
+        m_attn=(attn3 // 3) / width,
+        m_mlp=mlp_w / width,
+    )
+
+
+def main(argv=None):
+    import torch
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--vqvae", required=True)
+    p.add_argument("--prior", required=True)
+    p.add_argument("--depth", type=int, default=36)
+    p.add_argument("--output", required=True)
+    p.add_argument("--conds", default=None, help="npz with x_cond/y_cond")
+    args = p.parse_args(argv)
+
+    vq_sd = torch.load(args.vqvae, map_location="cpu")["model"]
+    pr_sd = torch.load(args.prior, map_location="cpu")["model"]
+    vq_cfg = JukeboxVQVAEConfig()
+    pr_cfg = infer_prior_config(pr_sd, args.depth)
+    vq_params = convert_vqvae(vq_sd, vq_cfg)
+    pr_params = convert_prior(pr_sd, pr_cfg)
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def put(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                put(f"{prefix}.{k}", v)
+        elif isinstance(tree, list):
+            for i, v in enumerate(tree):
+                put(f"{prefix}.{i}", v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    put("vq", vq_params)
+    put("prior", pr_params)
+    if args.conds:
+        conds = np.load(args.conds)
+        flat["x_cond"] = conds["x_cond"]
+        flat["y_cond"] = conds["y_cond"]
+    import dataclasses, json
+
+    flat["__vq_cfg__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(vq_cfg)).encode(), dtype=np.uint8
+    )
+    flat["__prior_cfg__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(pr_cfg)).encode(), dtype=np.uint8
+    )
+    np.savez(args.output, **flat)
+    print(f"wrote {len(flat)} arrays to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
