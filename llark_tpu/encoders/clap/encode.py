@@ -1,0 +1,103 @@
+"""CLAP audio-embedding pipeline: waveform -> 512-d vector.
+
+Behavior parity with the reference's laion_clap invocation (reference:
+scripts/clap/clap_embeddings.py:110-153):
+  * 48 kHz mono input
+  * int16 quantize round-trip (int16_to_float32(float32_to_int16(x)))
+  * data_truncating='rand_trunc': clips longer than clip_samples (480000,
+    10 s) take a random 10 s window
+  * data_filling='repeatpad': shorter clips are tiled then zero-padded
+  * log-mel (1024 fft / 480 hop / 64 mel / 50..14000 Hz) -> HTSAT ->
+    audio projection -> 512-d embedding
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llark_tpu.audio.mel import log_mel_spectrogram
+from llark_tpu.encoders.clap.htsat import HTSATConfig, htsat_embed, init_htsat_params
+
+CLAP_SAMPLE_RATE = 48000
+CLIP_SAMPLES = 480000  # 10 s
+N_FFT = 1024
+HOP = 480
+N_MELS = 64
+FMIN, FMAX = 50.0, 14000.0
+
+
+def float32_to_int16(x: np.ndarray) -> np.ndarray:
+    x = np.clip(x, -1.0, 1.0)
+    return (x * 32767.0).astype(np.int16)
+
+
+def int16_to_float32(x: np.ndarray) -> np.ndarray:
+    return (x / 32767.0).astype(np.float32)
+
+
+def quantize_roundtrip(x: np.ndarray) -> np.ndarray:
+    """int16 quantization round trip (reference :137-138)."""
+    return int16_to_float32(float32_to_int16(x))
+
+
+def prepare_clip(
+    audio: np.ndarray,
+    rng: Optional[np.random.RandomState] = None,
+    clip_samples: int = CLIP_SAMPLES,
+) -> np.ndarray:
+    """rand_trunc + repeatpad to a fixed clip_samples window."""
+    rng = rng or np.random.RandomState(0)
+    audio = np.asarray(audio, np.float32).flatten()
+    n = len(audio)
+    if n > clip_samples:
+        start = rng.randint(0, n - clip_samples + 1)
+        return audio[start : start + clip_samples]
+    if n < clip_samples:
+        if n == 0:
+            return np.zeros(clip_samples, np.float32)
+        n_repeat = clip_samples // n
+        audio = np.tile(audio, n_repeat)
+        audio = np.pad(audio, (0, clip_samples - len(audio)))
+    return audio
+
+
+@dataclasses.dataclass
+class ClapEncoder:
+    """Batched, jitted CLAP audio-embedding extractor (512-d)."""
+
+    cfg: HTSATConfig
+    params: Dict[str, Any]
+
+    def __post_init__(self):
+        n_frames = self.cfg.n_frames
+
+        def _embed(params, audio):  # audio [B, clip_samples]
+            mel = log_mel_spectrogram(
+                audio, CLAP_SAMPLE_RATE, N_FFT, HOP, self.cfg.n_mels, FMIN, FMAX
+            )
+            mel = mel[:, :n_frames]
+            return htsat_embed(self.cfg, params, mel)
+
+        self._embed = jax.jit(_embed)
+
+    @classmethod
+    def random_init(cls, cfg: Optional[HTSATConfig] = None, seed: int = 0):
+        cfg = cfg or HTSATConfig.base()
+        params = jax.jit(lambda k: init_htsat_params(cfg, k))(jax.random.PRNGKey(seed))
+        return cls(cfg, params)
+
+    def embed_batch(self, audio: np.ndarray) -> np.ndarray:
+        """audio [B, clip_samples] prepared waveforms -> [B, 512]."""
+        return np.asarray(self._embed(self.params, jnp.asarray(audio)))
+
+    def embed_clip(self, audio: np.ndarray, rng=None) -> np.ndarray:
+        """Full single-clip path incl. quantize + trunc/pad. Returns [1, 512]
+        (the reference stores [1, 512] npy files)."""
+        x = quantize_roundtrip(np.asarray(audio, np.float32).flatten())
+        x = prepare_clip(x, rng)
+        return self.embed_batch(x[None])
