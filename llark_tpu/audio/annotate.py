@@ -1,0 +1,164 @@
+"""Pseudo-label annotators with the reference's exact output contract.
+
+Each stage is a callable elem-dict -> elem-dict transform, mirroring the
+reference's Beam DoFns (reference: m2t/annotation.py:29-111) without the
+Beam dependency — run them with `annotate_elem` / a multiprocess map.
+
+Field contract (names, units, shapes all preserved):
+  elem["key"]                               "<tonic> major|minor"
+  elem["tempo_in_beats_per_minute_madmom"]  float, 1 decimal
+  elem["tempo_in_beats_per_minute_librosa"] float
+  elem["downbeats_librosa"]                 [{"time": t}, ...]
+  elem["downbeats_madmom"]                  [{"time": t, "beat_number": 1..bpb}]
+  elem["chords"]                            [{"start_time", "end_time",
+                                              "chord": "X major|X minor|no chord"}]
+
+Inputs: elem["audio"] (mono float samples), elem["audio_sample_rate"].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+
+from llark_tpu.audio.dsp import (
+    chord_templates,
+    chroma_from_audio,
+    estimate_key,
+    estimate_tempo,
+    onset_envelope,
+    track_beats,
+    viterbi_decode,
+)
+
+
+class ExtractKeyEstimates:
+    """Key estimate (reference ExtractMadmomKeyEstimates contract)."""
+
+    def __call__(self, elem: Dict[str, Any]) -> Dict[str, Any]:
+        chroma = chroma_from_audio(elem["audio"], elem["audio_sample_rate"])
+        elem["key"] = estimate_key(chroma)
+        return elem
+
+
+class ExtractTempoFeatures:
+    """Dominant tempo, rounded to 1 decimal (madmom contract)."""
+
+    def __init__(self, fps: int = 100):
+        self.fps = fps
+
+    def __call__(self, elem: Dict[str, Any]) -> Dict[str, Any]:
+        env = onset_envelope(elem["audio"], elem["audio_sample_rate"], self.fps)
+        tempo = estimate_tempo(env, self.fps)[0][0]
+        elem["tempo_in_beats_per_minute_madmom"] = round(tempo, 1)
+        return elem
+
+
+class ExtractLibrosaTempoAndDownbeatFeatures:
+    """Beat-track tempo + beat times (librosa-field contract)."""
+
+    def __init__(self, fps: int = 100):
+        self.fps = fps
+
+    def __call__(self, elem: Dict[str, Any]) -> Dict[str, Any]:
+        sr = elem["audio_sample_rate"]
+        env = onset_envelope(elem["audio"], sr, self.fps)
+        tempo = estimate_tempo(env, self.fps)[0][0]
+        beats = track_beats(env, self.fps, tempo)
+        elem["tempo_in_beats_per_minute_librosa"] = float(tempo)
+        elem["downbeats_librosa"] = [{"time": float(t)} for t in beats]
+        return elem
+
+
+class ExtractDownbeatFeatures:
+    """Beats with bar positions for beats_per_bar in {3, 4}
+    (madmom DBNDownBeatTrackingProcessor contract)."""
+
+    def __init__(self, fps: int = 100, beats_per_bar: Sequence[int] = (3, 4)):
+        self.fps = fps
+        self.beats_per_bar = tuple(beats_per_bar)
+
+    def __call__(self, elem: Dict[str, Any]) -> Dict[str, Any]:
+        sr = elem["audio_sample_rate"]
+        env = onset_envelope(elem["audio"], sr, self.fps)
+        beats = track_beats(env, self.fps)
+        if len(beats) == 0:
+            elem["downbeats_madmom"] = []
+            return elem
+        frames = np.clip((beats * self.fps).astype(int), 0, len(env) - 1)
+        strengths = env[frames]
+        best = None  # (score, bpb, phase)
+        for bpb in self.beats_per_bar:
+            for phase in range(bpb):
+                sel = strengths[phase::bpb]
+                rest = np.delete(strengths, np.arange(phase, len(strengths), bpb))
+                score = sel.mean() - (rest.mean() if len(rest) else 0.0)
+                if best is None or score > best[0]:
+                    best = (score, bpb, phase)
+        _, bpb, phase = best
+        out: List[Dict[str, Any]] = []
+        for i, t in enumerate(beats):
+            beat_number = ((i - phase) % bpb) + 1
+            out.append({"time": float(t), "beat_number": int(beat_number)})
+        elem["downbeats_madmom"] = out
+        return elem
+
+
+class ExtractChordEstimates:
+    """maj/min/no-chord segmentation on a 0.1 s grid
+    (madmom CNN+CRF contract: reference :54-77)."""
+
+    def __init__(self, fps: int = 10):
+        self.fps = fps
+        self.templates, self.labels = chord_templates()
+
+    def __call__(self, elem: Dict[str, Any]) -> Dict[str, Any]:
+        sr = elem["audio_sample_rate"]
+        chroma = chroma_from_audio(elem["audio"], sr, fps=self.fps)
+        norm = np.linalg.norm(chroma, axis=1, keepdims=True)
+        unit = chroma / np.maximum(norm, 1e-9)
+        sims = unit @ self.templates.T  # [T, 25]
+        # low-energy frames favor no-chord
+        energy = norm[:, 0]
+        sims[:, -1] = np.where(energy < 0.05 * max(energy.max(), 1e-9), 1.0, 0.3)
+        emissions = np.log(np.maximum(sims, 1e-6))
+        path = viterbi_decode(emissions, self_bias=0.98)
+        segments = []
+        start = 0
+        for t in range(1, len(path) + 1):
+            if t == len(path) or path[t] != path[start]:
+                label = self.labels[path[start]]
+                label = (
+                    label.replace(":maj", " major").replace(":min", " minor")
+                    if label != "N"
+                    else "no chord"
+                )
+                segments.append(
+                    {
+                        "start_time": round(start / self.fps, 1),
+                        "end_time": round(t / self.fps, 1),
+                        "chord": label,
+                    }
+                )
+                start = t
+        elem["chords"] = segments
+        return elem
+
+
+DEFAULT_ANNOTATORS = (
+    ExtractKeyEstimates,
+    ExtractLibrosaTempoAndDownbeatFeatures,
+    ExtractChordEstimates,
+    ExtractDownbeatFeatures,
+    ExtractTempoFeatures,
+)
+
+
+def annotate_elem(elem: Dict[str, Any], annotators=None) -> Dict[str, Any]:
+    """Run the full annotation chain on one element (the reference's
+    pipeline order, annotate_dataset.py:202-226)."""
+    for cls in annotators or DEFAULT_ANNOTATORS:
+        elem = cls()(elem)
+    return elem
