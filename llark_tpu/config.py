@@ -48,6 +48,10 @@ class ModelConfig:
     attention_block_q: int = 256
     attention_block_k: int = 256
     remat: bool = True
+    # LoRA (0 = disabled; see llark_tpu/models/lora.py)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.0
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -168,6 +172,11 @@ class TrainingArguments:
     # TPU-native additions
     mesh_shape: Tuple[int, int, int] = (1, 1, 1)  # (data, fsdp, tensor)
     resume: bool = True
+    # profiling (SURVEY.md §5: reference has only wandb step logging;
+    # here: jax.profiler device trace over a step window)
+    profile_dir: Optional[str] = None  # write a trace here when set
+    profile_start_step: int = 10
+    profile_num_steps: int = 3
 
 
 def write_args_to_file(args_list, output_dir: str) -> None:

@@ -163,6 +163,37 @@ def _dense(x, w, b, dtype):
     return y
 
 
+# deterministic per-target salt for LoRA-dropout key derivation
+_LORA_TARGET_SALT = {
+    "wq": 0, "wk": 1, "wv": 2, "wo": 3, "w_gate": 4, "w_up": 5, "w_down": 6,
+}
+
+
+def _lora_dense(cfg: ModelConfig, lp: Params, name: str, x, dtype, dropout_rng):
+    """Base dense + optional low-rank delta: y = xW + scale * (drop(x) A) B.
+    LoRA factors ride in the layer tree as `{name}_lora_a/b` (stacked [L,...],
+    sliced by the decoder scan); absent keys mean a plain dense."""
+    y = _dense(x, lp[name], lp.get("b" + name[1:]), dtype)  # wq->bq, w_up->b_up
+    a = lp.get(f"{name}_lora_a")
+    if a is None:
+        return y
+    bmat = lp[f"{name}_lora_b"]
+    scale = float(cfg.lora_alpha) / float(max(cfg.lora_rank, 1))
+    xl = x
+    if dropout_rng is not None and cfg.lora_dropout > 0.0:
+        keep = 1.0 - cfg.lora_dropout
+        key = jax.random.fold_in(dropout_rng, _LORA_TARGET_SALT[name])
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        xl = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    z = jnp.einsum(
+        "bsh,hr->bsr", xl, a.astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    delta = jnp.einsum(
+        "bsr,rd->bsd", z, bmat.astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    return y + scale * delta
+
+
 def _layer_forward(
     cfg: ModelConfig,
     lp: Params,
@@ -174,15 +205,16 @@ def _layer_forward(
     v_cache: Optional[jnp.ndarray],
     cache_index: Optional[jnp.ndarray],  # scalar (prefill)
     cache_positions: Optional[jnp.ndarray],  # [B] per-row write pos (decode)
+    dropout_rng: Optional[jax.Array] = None,  # per-layer key (LoRA dropout)
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     dtype = x.dtype
     b, s, h = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     y = _norm(cfg, x, lp["attn_norm_scale"], lp.get("attn_norm_bias"))
-    q = _dense(y, lp["wq"], lp.get("bq"), dtype).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-    k = _dense(y, lp["wk"], lp.get("bk"), dtype).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    v = _dense(y, lp["wv"], lp.get("bv"), dtype).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    q = _lora_dense(cfg, lp, "wq", y, dtype, dropout_rng).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = _lora_dense(cfg, lp, "wk", y, dtype, dropout_rng).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = _lora_dense(cfg, lp, "wv", y, dtype, dropout_rng).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
 
     if not cfg.use_alibi:
         q = apply_rope(q, positions, cfg.rope_theta)
@@ -234,18 +266,18 @@ def _layer_forward(
         )
 
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
-    attn_out = _dense(attn, lp["wo"], lp.get("bo"), dtype)
+    attn_out = _lora_dense(cfg, lp, "wo", attn, dtype, dropout_rng)
     x = x + attn_out
 
     y = _norm(cfg, x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"))
     if cfg.mlp_activation == "silu":
-        gate = _dense(y, lp["w_gate"], lp.get("b_gate"), dtype)
-        up = _dense(y, lp["w_up"], lp.get("b_up"), dtype)
+        gate = _lora_dense(cfg, lp, "w_gate", y, dtype, dropout_rng)
+        up = _lora_dense(cfg, lp, "w_up", y, dtype, dropout_rng)
         z = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up
     else:
-        up = _dense(y, lp["w_up"], lp.get("b_up"), dtype)
+        up = _lora_dense(cfg, lp, "w_up", y, dtype, dropout_rng)
         z = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(dtype)
-    mlp_out = _dense(z, lp["w_down"], lp.get("b_down"), dtype)
+    mlp_out = _lora_dense(cfg, lp, "w_down", z, dtype, dropout_rng)
     return x + mlp_out, new_k_cache, new_v_cache
 
 
@@ -265,6 +297,7 @@ def decoder_forward(
     kv_cache: Optional[Params] = None,
     cache_positions: Optional[jnp.ndarray] = None,  # [B] ragged decode writes
     return_hidden: bool = False,
+    dropout_rng: Optional[jax.Array] = None,  # enables LoRA dropout (training)
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_kv_cache|None).
 
@@ -289,18 +322,29 @@ def decoder_forward(
 
     slopes = alibi_slopes(cfg.num_heads) if cfg.use_alibi else None
 
+    layer_rngs = (
+        jax.random.split(dropout_rng, cfg.num_layers)
+        if dropout_rng is not None and cfg.lora_dropout > 0.0
+        else None
+    )
+
     def body(carry, xs):
         xh = carry
+        rng = None
+        if layer_rngs is not None:
+            xs, rng = xs[:-1], xs[-1]
+            if len(xs) == 1:
+                xs = xs[0]
         if kv_cache is not None:
             lp, kc, vc = xs
             out, nk, nv = _layer_forward(
                 cfg, lp, xh, positions, seq_lengths, slopes, kc, vc,
-                cache_index, cache_positions,
+                cache_index, cache_positions, rng,
             )
             return out, (nk, nv)
         lp = xs
         out, _, _ = _layer_forward(
-            cfg, lp, xh, positions, seq_lengths, slopes, None, None, None, None
+            cfg, lp, xh, positions, seq_lengths, slopes, None, None, None, None, rng
         )
         return out, None
 
@@ -309,10 +353,13 @@ def decoder_forward(
 
     if kv_cache is not None:
         xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+        if layer_rngs is not None:
+            xs = xs + (layer_rngs,)
         x, (new_k, new_v) = jax.lax.scan(body, x, xs)
         new_cache = {"k": new_k, "v": new_v, "index": kv_cache["index"] + s}
     else:
-        x, _ = jax.lax.scan(body, x, params["layers"])
+        xs = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
+        x, _ = jax.lax.scan(body, x, xs)
         new_cache = None
 
     x = _norm(

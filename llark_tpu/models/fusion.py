@@ -131,6 +131,7 @@ def llark_forward(
     kv_cache: Optional[Params] = None,
     trainable_token_start: Optional[int] = None,
     return_hidden: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Full multimodal forward (reference: WrappedLlamav2ForCausalLM.forward)."""
     inputs_embeds = build_inputs_embeds(
@@ -149,6 +150,7 @@ def llark_forward(
         seq_lengths=seq_lengths,
         kv_cache=kv_cache,
         return_hidden=return_hidden,
+        dropout_rng=dropout_rng,
     )
 
 

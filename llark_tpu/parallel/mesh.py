@@ -94,6 +94,10 @@ def _layer_specs(cfg: ModelConfig) -> Dict[str, P]:
         )
         if cfg.mlp_activation == "silu":
             specs["b_gate"] = P(None, t)
+    if cfg.lora_rank > 0:
+        from llark_tpu.models.lora import lora_layer_specs
+
+        specs.update(lora_layer_specs(cfg, specs))
     return specs
 
 

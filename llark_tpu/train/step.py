@@ -44,14 +44,24 @@ def trainable_mask(
     *,
     freeze_backbone: bool = False,
     tune_mm_mlp_adapter: bool = False,
+    lora: bool = False,
 ) -> Dict[str, Any]:
     """True = trainable. Adapter-only stage trains mm_projector + embed
-    (new-token rows are gated inside the model by trainable_token_start)."""
+    (new-token rows are gated inside the model by trainable_token_start).
+    LoRA stage trains the low-rank factors + projector + embed (the
+    reference's adapter + non_lora_trainables split, m2t/train.py:264-273)."""
 
     def mask_entry(path_key: str, subtree):
         if path_key == "mm_projector":
             return jax.tree.map(lambda _: True, subtree)
-        if tune_mm_mlp_adapter:
+        if lora:
+            if path_key == "layers":
+                return {
+                    k: jax.tree.map(lambda _: "_lora_" in k, v)  # noqa: B023
+                    for k, v in subtree.items()
+                }
+            trainable = path_key == "embed"
+        elif tune_mm_mlp_adapter:
             # adapter stage: projector + embedding table (new-token rows
             # gated by trainable_token_start's stop_gradient in the model)
             trainable = path_key == "embed"
@@ -70,6 +80,7 @@ def make_optimizer(
     *,
     freeze_backbone: bool = False,
     tune_mm_mlp_adapter: bool = False,
+    lora: bool = False,
 ) -> optax.GradientTransformation:
     schedule = lr_schedule(args)
     core = optax.chain(
@@ -82,11 +93,12 @@ def make_optimizer(
             weight_decay=args.weight_decay,
         ),
     )
-    if freeze_backbone or tune_mm_mlp_adapter:
+    if freeze_backbone or tune_mm_mlp_adapter or lora:
         mask = trainable_mask(
             params,
             freeze_backbone=freeze_backbone,
             tune_mm_mlp_adapter=tune_mm_mlp_adapter,
+            lora=lora,
         )
         labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
         # frozen leaves get zero updates (optax.masked would pass raw grads
@@ -104,6 +116,7 @@ def make_train_step(
     audio_patch_id: int,
     grad_accum_steps: int = 1,
     trainable_token_start: Optional[int] = None,
+    dropout_seed: Optional[int] = None,  # enables LoRA dropout when set
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the (jittable) train step.
 
@@ -116,7 +129,7 @@ def make_train_step(
     with B = grad_accum_steps * micro_batch.
     """
 
-    def loss_fn(params, micro):
+    def loss_fn(params, micro, rng):
         logits, _ = llark_forward(
             cfg,
             params,
@@ -126,34 +139,45 @@ def make_train_step(
             audio_frame_counts=micro.get("audio_frame_counts"),
             seq_lengths=micro.get("seq_lengths"),
             trainable_token_start=trainable_token_start,
+            dropout_rng=rng,
         )
         loss, n_tok = causal_lm_loss(logits, micro["labels"])
         return loss, n_tok
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    use_dropout = dropout_seed is not None and cfg.lora_dropout > 0.0
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+            if use_dropout
+            else None
+        )
         if grad_accum_steps > 1:
             def reshape(x):
                 return x.reshape((grad_accum_steps, x.shape[0] // grad_accum_steps) + x.shape[1:])
 
             micro_batches = jax.tree.map(reshape, batch)
 
-            def accum(carry, micro):
-                g_acc, loss_acc, tok_acc = carry
-                (loss, n_tok), g = grad_fn(state.params, micro)
+            def accum(carry, xs):
+                g_acc, loss_acc, tok_acc, i = carry
+                micro = xs
+                mrng = jax.random.fold_in(rng, i) if rng is not None else None
+                (loss, n_tok), g = grad_fn(state.params, micro, mrng)
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, loss_acc + loss, tok_acc + n_tok), None
+                return (g_acc, loss_acc + loss, tok_acc + n_tok, i + 1), None
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (g_sum, loss_sum, tok_sum), _ = jax.lax.scan(
-                accum, (zeros, 0.0, jnp.zeros((), jnp.int32)), micro_batches
+            (g_sum, loss_sum, tok_sum, _), _ = jax.lax.scan(
+                accum,
+                (zeros, 0.0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+                micro_batches,
             )
             grads = jax.tree.map(lambda g: g / grad_accum_steps, g_sum)
             loss = loss_sum / grad_accum_steps
             n_tok = tok_sum
         else:
-            (loss, n_tok), grads = grad_fn(state.params, batch)
+            (loss, n_tok), grads = grad_fn(state.params, batch, rng)
 
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

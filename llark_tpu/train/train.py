@@ -15,6 +15,7 @@ of torch.save; one jitted step with grad accumulation inside.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -52,8 +53,38 @@ log = logging.getLogger("llark_tpu.train")
 
 
 def model_config_from_name(name: str, model_args: ModelArguments, training_args=None) -> ModelConfig:
-    """Select architecture by model name (reference: m2t/train.py:62-75)."""
+    """Select architecture by model name (reference: m2t/train.py:62-75).
+    A local directory with a config.json takes its dims from that file."""
     kw: Dict[str, Any] = {"mm_hidden_size": model_args.mm_hidden_size}
+    cfg_path = os.path.join(name, "config.json")
+    if os.path.isdir(name) and os.path.exists(cfg_path):
+        import json
+
+        with open(cfg_path) as f:
+            hf = json.load(f)
+        if hf.get("model_type") == "mpt":
+            return ModelConfig.mpt_1b(
+                vocab_size=hf.get("vocab_size", 50368),
+                hidden_size=hf.get("d_model", 2048),
+                intermediate_size=hf.get("d_model", 2048) * hf.get("expansion_ratio", 4),
+                num_layers=hf.get("n_layers", 24),
+                num_heads=hf.get("n_heads", 16),
+                num_kv_heads=hf.get("n_heads", 16),
+                max_seq_len=hf.get("max_seq_len", 2048),
+                **kw,
+            )
+        return ModelConfig(
+            vocab_size=hf.get("vocab_size", 32000),
+            hidden_size=hf.get("hidden_size", 4096),
+            intermediate_size=hf.get("intermediate_size", 11008),
+            num_layers=hf.get("num_hidden_layers", 32),
+            num_heads=hf.get("num_attention_heads", 32),
+            num_kv_heads=hf.get("num_key_value_heads", hf.get("num_attention_heads", 32)),
+            max_seq_len=hf.get("max_position_embeddings", 2048),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            **kw,
+        )
     lname = name.lower()
     if "mpt" in lname:
         return ModelConfig.mpt_1b(**kw)
@@ -130,9 +161,32 @@ def train(
     ) > 1 else make_mesh((1, len(jax.devices()), 1))
 
     params = init_llark_params(cfg, jax.random.PRNGKey(training_args.seed))
+    if os.path.isdir(model_args.model_name_or_path):
+        # local HF checkpoint dir: import backbone weights
+        # (reference: from_pretrained load, m2t/train.py:62-75)
+        try:
+            from llark_tpu.interop.hf import load_pretrained_backbone
+
+            backbone = load_pretrained_backbone(model_args.model_name_or_path, cfg)
+            params.update(jax.tree.map(jnp.asarray, backbone))
+            log.info("imported HF backbone from %s", model_args.model_name_or_path)
+        except FileNotFoundError:
+            log.warning(
+                "no HF weights under %s; training from random init",
+                model_args.model_name_or_path,
+            )
     if model_args.pretrain_mm_mlp_adapter:
         params = apply_pretrained_projector(
             params, load_projector_weights(model_args.pretrain_mm_mlp_adapter)
+        )
+    if training_args.lora_enable:
+        from llark_tpu.models.lora import init_lora_params
+
+        cfg.lora_rank = training_args.lora_r
+        cfg.lora_alpha = float(training_args.lora_alpha)
+        cfg.lora_dropout = float(training_args.lora_dropout)
+        params = init_lora_params(
+            cfg, jax.random.PRNGKey(training_args.seed + 1), params
         )
     specs = param_partition_specs(cfg)
     params = shard_params(mesh, params, specs)
@@ -142,6 +196,7 @@ def train(
         params,
         freeze_backbone=model_args.freeze_backbone,
         tune_mm_mlp_adapter=model_args.tune_mm_mlp_adapter,
+        lora=training_args.lora_enable,
     )
 
     def ensure_on_mesh(x):
@@ -167,6 +222,7 @@ def train(
         audio_patch_id=bundle.audio_patch_id,
         grad_accum_steps=training_args.gradient_accumulation_steps,
         trainable_token_start=trainable_start,
+        dropout_seed=training_args.seed if training_args.lora_enable else None,
     )
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
@@ -210,6 +266,8 @@ def train(
 
     history = []
     t_start = time.time()
+    t_prev = t_start
+    profiling = False
     with mesh:
         first = True
         for i, batch in enumerate(iterator):
@@ -219,23 +277,54 @@ def train(
             if first:
                 smoke_test_batch(batch)
                 first = False
+            if training_args.profile_dir and step_i == training_args.profile_start_step:
+                jax.profiler.start_trace(training_args.profile_dir)
+                profiling = True
             state, metrics = step_fn(state, put(batch))
+            if profiling and step_i >= (
+                training_args.profile_start_step + training_args.profile_num_steps - 1
+            ):
+                jax.tree.map(
+                    lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                    metrics,
+                )
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("wrote profiler trace to %s", training_args.profile_dir)
             if step_i % training_args.logging_steps == 0:
-                loss = float(metrics["loss"])
+                loss = float(metrics["loss"])  # device sync
                 history.append(loss)
+                now = time.time()
+                dt = max(now - t_prev, 1e-9) / max(training_args.logging_steps, 1)
+                t_prev = now
                 log.info(
-                    "step %d loss %.4f grad_norm %.3f",
+                    "step %d loss %.4f grad_norm %.3f | %.3f s/step %.0f tok/s",
                     step_i,
                     loss,
                     float(metrics["grad_norm"]),
+                    dt,
+                    float(metrics["num_tokens"]) / dt,
                 )
             if (step_i + 1) % training_args.save_steps == 0:
                 ckpt.save(step_i + 1, state, {"seed": training_args.seed, "batches_seen": step_i + 1})
+        if profiling:
+            jax.profiler.stop_trace()
 
     final_step = int(state.step)
     if final_step > start_step:
         ckpt.save(final_step, state, {"seed": training_args.seed, "batches_seen": final_step})
     ckpt.wait()
+    if training_args.lora_enable:
+        from llark_tpu.models.lora import save_lora_adapter
+
+        host_params = jax.device_get(state.params)
+        save_lora_adapter(
+            os.path.join(training_args.output_dir, "adapter"),
+            cfg,
+            host_params,
+            extra_non_lora={"embed": host_params["embed"]},
+        )
+        log.info("saved LoRA adapter to %s/adapter", training_args.output_dir)
     return {
         "final_step": final_step,
         "losses": history,
