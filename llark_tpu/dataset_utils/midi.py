@@ -52,6 +52,42 @@ GM_PROGRAMS = (
 )
 
 
+# General MIDI percussion-key names (public MIDI specification, keys 35-81),
+# used for Slakh drum-track formatting (reference contract:
+# m2t/preprocessing/jsonify.py:230-260 + slakh2100_redux DRUM_PITCH_TO_NAME).
+GM_DRUM_PITCH_TO_NAME: Dict[int, str] = {
+    35: "Acoustic Bass Drum", 36: "Bass Drum", 37: "Side Stick",
+    38: "Acoustic Snare", 39: "Hand Clap", 40: "Snare",
+    41: "Low Floor Tom", 42: "Closed Hi-hat", 43: "High Floor Tom",
+    44: "Pedal Hi-hat", 45: "Low Tom", 46: "Open Hi-hat",
+    47: "Low-Mid Tom", 48: "Hi-Mid Tom", 49: "Crash Cymbal 1",
+    50: "High Tom", 51: "Ride Cymbal 1", 52: "Chinese Cymbal",
+    53: "Ride Bell", 54: "Tambourine", 55: "Splash Cymbal",
+    56: "Cowbell", 57: "Crash Cymbal 2", 58: "Vibraslap",
+    59: "Ride Cymbal 2", 60: "High Bongo", 61: "Low Bongo",
+    62: "Mute High Conga", 63: "Open High Conga", 64: "Low Conga",
+    65: "High Timbale", 66: "Low Timbale", 67: "High Agogo",
+    68: "Low Agogo", 69: "Cabasa", 70: "Maracas",
+    71: "Short Whistle", 72: "Long Whistle", 73: "Short Guiro",
+    74: "Long Guiro", 75: "Claves", 76: "High Woodblock",
+    77: "Low Woodblock", 78: "Mute Cuica", 79: "Open Cuica",
+    80: "Mute Triangle", 81: "Open Triangle",
+}
+
+# GM program-family names (programs 0-127 in groups of 8; public spec),
+# the Slakh instrument-class taxonomy.
+GM_FAMILIES = (
+    "Piano", "Chromatic Percussion", "Organ", "Guitar", "Bass", "Strings",
+    "Ensemble", "Brass", "Reed", "Pipe", "Synth Lead", "Synth Pad",
+    "Synth Effects", "Ethnic", "Percussive", "Sound Effects",
+)
+
+
+def program_to_family(program: int) -> str:
+    """GM program -> instrument family / Slakh class name."""
+    return GM_FAMILIES[max(0, min(127, program)) // 8]
+
+
 def pitch_to_note_label(pitch: int) -> str:
     """MIDI pitch -> note label with octave, e.g. 60 -> 'C4'."""
     return f"{NOTE_LABELS[pitch % 12]}{pitch // 12 - 1}"
@@ -202,5 +238,29 @@ def get_formatted_notes_list(
                 "end": n["end"],
                 "pitch": pitch_to_note_label(n["pitch"]),
             }
+        )
+    return dict(by_inst)
+
+
+def format_slakh_notes_list(
+    notes: List[Dict[str, Any]],
+) -> Dict[str, List[Dict[str, Any]]]:
+    """Slakh per-instrument note lists: drum-channel notes map to GM
+    percussion names under a 'Drums' instrument (unknown drum pitches are
+    skipped — missing beats wrong); melodic notes map to their GM program
+    name with a readable pitch label (reference contract:
+    m2t/preprocessing/jsonify.py:230-260)."""
+    by_inst: Dict[str, List[Dict[str, Any]]] = defaultdict(list)
+    for n in notes:
+        if n.get("channel") == 9:  # GM percussion channel
+            name = GM_DRUM_PITCH_TO_NAME.get(n["pitch"])
+            if name is None:
+                continue
+            inst, pitch = "Drums", name
+        else:
+            inst = program_to_instrument(n.get("program", 0))
+            pitch = pitch_to_note_label(n["pitch"])
+        by_inst[inst].append(
+            {"start": round(n["start"], 2), "end": round(n["end"], 2), "pitch": pitch}
         )
     return dict(by_inst)

@@ -26,7 +26,11 @@ import os
 import re
 from typing import Any, Dict, Iterable, List, Optional
 
-from llark_tpu.dataset_utils.midi import get_formatted_notes_list, parse_midi
+from llark_tpu.dataset_utils.midi import (
+    format_slakh_notes_list,
+    get_formatted_notes_list,
+    parse_midi,
+)
 from llark_tpu.preprocessing.wavcaps_filters import keyword_filter, length_filter
 
 log = logging.getLogger(__name__)
@@ -307,7 +311,7 @@ class SlakhJsonifier(DatasetJsonifier):
                 try:
                     with open(midi_path, "rb") as f:
                         notes = parse_midi(f.read())
-                    row["notes"] = json.dumps(get_formatted_notes_list(notes))
+                    row["notes"] = json.dumps(format_slakh_notes_list(notes))
                 except Exception as e:  # noqa: BLE001
                     log.warning("failed to parse %s: %s", midi_path, e)
             out.append(row)

@@ -300,3 +300,30 @@ def test_pack_webdataset_cli(tmp_path):
     assert len(samples) == 1
     assert samples[0]["__key__"] == "a"
     assert samples[0]["audio_encoding.pyd"].shape == (4, 8)
+
+
+def test_format_slakh_notes_list_drums_and_programs():
+    from llark_tpu.dataset_utils.midi import format_slakh_notes_list
+
+    notes = [
+        {"start": 0.0, "end": 0.5, "pitch": 60, "program": 0, "channel": 0},
+        {"start": 0.1, "end": 0.2, "pitch": 38, "program": 0, "channel": 9},
+        {"start": 0.3, "end": 0.4, "pitch": 42, "program": 0, "channel": 9},
+        {"start": 0.5, "end": 0.6, "pitch": 1, "program": 0, "channel": 9},  # unknown drum
+        {"start": 1.0, "end": 1.5, "pitch": 64, "program": 40, "channel": 1},
+    ]
+    out = format_slakh_notes_list(notes)
+    assert out["Drums"] == [
+        {"start": 0.1, "end": 0.2, "pitch": "Acoustic Snare"},
+        {"start": 0.3, "end": 0.4, "pitch": "Closed Hi-hat"},
+    ]
+    assert out["Violin"][0]["pitch"] == "E4"
+    assert "Acoustic Grand Piano" in out
+
+
+def test_notebook_audio_player():
+    import numpy as np
+    from llark_tpu.notebook_lib import audio_player_html
+
+    html = audio_player_html(np.sin(np.linspace(0, 100, 4410)), 44100)
+    assert html.startswith("<audio") and "base64," in html
