@@ -125,18 +125,23 @@ def run_jukebox():
     )
 
     enc = JukeboxEncoder.random_init(
-        JukeboxVQVAEConfig(),
+        JukeboxVQVAEConfig(dtype="bfloat16"),
         JukeboxPriorConfig(dtype="bfloat16"),
         pool_frames_per_second=10.0,
+        transfer_dtype="int16",  # halve the ~100 MB/s tunnel upload
+        output_dtype="bfloat16",  # halve the activation download
     )
-    B = 6
+    B = 2  # measured sweet spot on one v5e chip (B>=3 spills)
     audio = np.random.RandomState(0).randn(B, enc.samples_per_ctx).astype(np.float32)
     enc.encode_batch(audio)  # compile
     best = 0.0
-    for _ in range(3):
+    n_batches = 6
+    for _ in range(2):
+        batches = [(audio, None)] * n_batches
         t0 = time.perf_counter()
-        enc.encode_batch(audio)  # encode_batch device_gets -> real sync
-        best = max(best, B / (time.perf_counter() - t0))
+        for _acts, _counts in enc.encode_stream(iter(batches)):
+            pass  # double-buffered: upload/compute overlap readback
+        best = max(best, B * n_batches / (time.perf_counter() - t0))
     return best
 
 

@@ -165,3 +165,44 @@ def test_full_encoder_pooled():
     acts, counts = enc.encode_batch(audio)
     assert acts.shape[1] == 64 // frame_len
     assert counts[0] == 64 // frame_len
+
+
+def test_transfer_dtype_int16_matches_float32():
+    from llark_tpu.encoders.jukebox.config import JukeboxPriorConfig, JukeboxVQVAEConfig
+    from llark_tpu.encoders.jukebox.encode import JukeboxEncoder
+
+    vq = JukeboxVQVAEConfig.tiny()
+    pr = JukeboxPriorConfig.tiny()
+    kw = dict(pool_frames_per_second=None)
+    e32 = JukeboxEncoder.random_init(vq_cfg=vq, prior_cfg=pr, seed=0, **kw)
+    e16 = JukeboxEncoder.random_init(vq_cfg=vq, prior_cfg=pr, seed=0,
+                                     transfer_dtype="int16",
+                                     output_dtype="bfloat16", **kw)
+    audio = (np.random.RandomState(0).randn(2, e32.samples_per_ctx) * 0.3).astype(np.float32)
+    a32, c32 = e32.encode_batch(audio)
+    a16, c16 = e16.encode_batch(audio)
+    np.testing.assert_array_equal(c32, c16)
+    assert a16.dtype == np.float32  # host side always fp32
+    # int16 quantization + bf16 download stay close to the fp32 path
+    denom = np.abs(a32).max() + 1e-6
+    assert np.abs(a32 - a16).max() / denom < 0.05
+
+
+def test_encode_stream_matches_encode_batch():
+    from llark_tpu.encoders.jukebox.config import JukeboxPriorConfig, JukeboxVQVAEConfig
+    from llark_tpu.encoders.jukebox.encode import JukeboxEncoder
+
+    enc = JukeboxEncoder.random_init(
+        vq_cfg=JukeboxVQVAEConfig.tiny(), prior_cfg=JukeboxPriorConfig.tiny(), seed=0,
+        pool_frames_per_second=None,
+    )
+    rng = np.random.RandomState(1)
+    batches = [
+        (rng.randn(2, enc.samples_per_ctx).astype(np.float32), None) for _ in range(3)
+    ]
+    streamed = list(enc.encode_stream(iter(batches)))
+    assert len(streamed) == 3
+    for (audio, _), (acts, counts) in zip(batches, streamed):
+        ref_acts, ref_counts = enc.encode_batch(audio)
+        np.testing.assert_allclose(acts, ref_acts, rtol=1e-5)
+        np.testing.assert_array_equal(counts, ref_counts)
