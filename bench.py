@@ -56,22 +56,29 @@ def build(cfg_name: str):
 
 
 def run(cfg_name: str):
-    from llark_tpu.generate import make_decode_fn, make_prefill_fn
-    from llark_tpu.models.decoder import init_kv_cache
+    from llark_tpu.generate import (
+        GenerationConfig,
+        make_multistep_decode_fn,
+        make_prefill_fn,
+    )
     from llark_tpu.models.fusion import init_llark_params
+    from llark_tpu.models.quant import quantize_params_int8_incremental
 
     cfg, baseline = build(cfg_name)
     MAX_LEN = 1024
     PROMPT = 512
     B = 1
+    CHUNK = 32  # tokens per jitted scan (one host sync per chunk)
 
     params = jax.jit(
         lambda k: init_llark_params(cfg, k), donate_argnums=()
     )(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    # int8 weight-only serving: halves HBM bytes/step in the decode loop
+    params = quantize_params_int8_incremental(cfg, params)
 
     prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id=31999, max_cache_len=MAX_LEN))
-    decode = jax.jit(make_decode_fn(cfg), donate_argnums=(2,))
+    gen_cfg = GenerationConfig(temperature=0.0, decode_chunk=CHUNK)
+    decode_n = jax.jit(make_multistep_decode_fn(cfg, gen_cfg, CHUNK), donate_argnums=(2,))
 
     rng = np.random.RandomState(0)
     ids = jnp.asarray(rng.randint(0, 31996, size=(B, PROMPT)).astype(np.int32))
@@ -93,17 +100,18 @@ def run(cfg_name: str):
     ttft = time.perf_counter() - t0
 
     token = jnp.argmax(logits, -1).astype(jnp.int32)
+    key = jax.random.PRNGKey(0)
 
-    # warm decode
-    lg, cache = decode(params, token, cache, plen)
-    sync(lg)
-    token = jnp.argmax(lg, -1).astype(jnp.int32)
+    # warm the scan program
+    toks, lg, cache = decode_n(params, token, cache, plen, key)
+    sync(toks)
+    token = toks[:, -1]
 
-    N = 64
+    N = 2 * CHUNK
     t0 = time.perf_counter()
-    for i in range(1, N + 1):
-        lg, cache = decode(params, token, cache, plen + i)
-        token = jnp.argmax(lg, -1).astype(jnp.int32)
+    for i in range(2):
+        toks, lg, cache = decode_n(params, token, cache, plen + CHUNK * (i + 1), key)
+        token = toks[:, -1]
     sync(token)
     dt = time.perf_counter() - t0
     toks_per_s = N * B / dt

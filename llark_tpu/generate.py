@@ -40,6 +40,7 @@ class GenerationConfig:
     top_p: float = 1.0
     eos_token_id: Optional[int] = None
     stop_text: str = "###"  # reference keyword stop
+    decode_chunk: int = 8  # tokens per jitted scan chunk (1 host sync/chunk)
 
 
 def _sample(logits: jnp.ndarray, cfg: GenerationConfig, key: jax.Array) -> jnp.ndarray:
@@ -109,6 +110,31 @@ def make_decode_fn(cfg: ModelConfig):
     return decode
 
 
+def make_multistep_decode_fn(cfg: ModelConfig, gen_cfg: "GenerationConfig", steps: int):
+    """Jittable N-token decode: a lax.scan over single-token steps with
+    sampling inside. One program per chunk instead of one per token —
+    amortizes dispatch/sync latency (dominant in single-stream serving).
+
+    Returns (tokens [B, steps], last_logits [B, V], cache).
+    """
+    decode = make_decode_fn(cfg)
+
+    def decode_n(params, token, cache, write_positions, rng):
+        def body(carry, _):
+            tok, cache, pos, r = carry
+            logits, cache = decode(params, tok, cache, pos)
+            r, sub = jax.random.split(r)
+            nxt = _sample(logits, gen_cfg, sub)
+            return (nxt, cache, pos + 1, r), (nxt, logits)
+
+        (token, cache, _, _), (toks, logits_seq) = jax.lax.scan(
+            body, (token, cache, write_positions, rng), None, length=steps
+        )
+        return toks.T, logits_seq[-1], cache  # [B, steps]
+
+    return decode_n
+
+
 class Generator:
     """Stateful convenience wrapper: compiles prefill/decode once per shape."""
 
@@ -127,6 +153,14 @@ class Generator:
         self.max_cache_len = max_cache_len
         self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
         self._decode = jax.jit(make_decode_fn(cfg))
+        self._decode_n: dict = {}  # chunk length -> jitted scan program
+
+    def _get_decode_n(self, n: int):
+        if n not in self._decode_n:
+            self._decode_n[n] = jax.jit(
+                make_multistep_decode_fn(self.cfg, self.gen_cfg, n)
+            )
+        return self._decode_n[n]
 
     def generate(
         self,
@@ -165,12 +199,10 @@ class Generator:
         eos = gen_cfg.eos_token_id
         stop_text = gen_cfg.stop_text
 
-        token = _sample(logits, gen_cfg, rng)
-        for step in range(gen_cfg.max_new_tokens):
-            tok_np = np.asarray(token)
+        def absorb(tok_col: np.ndarray) -> None:
             for i in range(b):
                 if not done[i]:
-                    t = int(tok_np[i])
+                    t = int(tok_col[i])
                     if eos is not None and t == eos:
                         done[i] = True
                         continue
@@ -179,12 +211,26 @@ class Generator:
                         tail = tokenizer.decode(out[i][-8:])
                         if stop_text in tail:
                             done[i] = True
-            if done.all() or step == gen_cfg.max_new_tokens - 1:
-                break
+
+        # chunked decode: one jitted scan program + ONE host sync per chunk
+        # (a per-token sync costs a full host<->device round trip each step)
+        token = _sample(logits, gen_cfg, rng)
+        absorb(np.asarray(token))
+        emitted = 1
+        chunk = max(1, int(gen_cfg.decode_chunk))
+        while emitted < gen_cfg.max_new_tokens and not done.all():
+            n = min(chunk, gen_cfg.max_new_tokens - emitted)
             rng, sub = jax.random.split(rng)
-            write_pos = prompt_lengths + step
-            logits, cache = self._decode(self.params, token, cache, write_pos)
-            token = _sample(logits, self.gen_cfg, sub)
+            toks, _last_logits, cache = self._get_decode_n(n)(
+                self.params, token, cache, prompt_lengths + (emitted - 1), sub
+            )
+            tok_np = np.asarray(toks)  # [B, n] — the chunk's only transfer
+            for j in range(n):
+                absorb(tok_np[:, j])
+                if done.all():
+                    break
+            token = toks[:, -1]
+            emitted += n
 
         if stop_text and tokenizer is not None:
             out = [self._trim_stop(ids, tokenizer, stop_text) for ids in out]

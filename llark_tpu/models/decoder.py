@@ -156,6 +156,10 @@ def init_kv_cache(
 
 
 def _dense(x, w, b, dtype):
+    if isinstance(w, dict):  # int8 weight-only (llark_tpu/models/quant.py)
+        from llark_tpu.models.quant import quantized_dense
+
+        return quantized_dense(x, w, b, dtype)
     y = jnp.einsum("bsh,hd->bsd", x, w.astype(dtype), preferred_element_type=jnp.float32)
     y = y.astype(dtype)
     if b is not None:
@@ -382,5 +386,13 @@ def compute_logits(cfg: ModelConfig, params: Params, hidden: jnp.ndarray) -> jnp
     if cfg.tie_embeddings:
         w = params["embed"].astype(dtype)  # [V, H]
         return jnp.einsum("bsh,vh->bsv", hidden, w, preferred_element_type=jnp.float32)
-    w = params["lm_head"].astype(dtype)  # [H, V]
-    return jnp.einsum("bsh,hv->bsv", hidden, w, preferred_element_type=jnp.float32)
+    w = params["lm_head"]  # [H, V]
+    if isinstance(w, dict):  # int8 weight-only
+        logits = jnp.einsum(
+            "bsh,hv->bsv", hidden, w["q"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * w["scale"].reshape(-1).astype(jnp.float32)
+    return jnp.einsum(
+        "bsh,hv->bsv", hidden, w.astype(dtype), preferred_element_type=jnp.float32
+    )

@@ -1,0 +1,66 @@
+"""Int8 weight-only quantization tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.models.fusion import init_llark_params, llark_forward
+from llark_tpu.models.quant import (
+    dequantize_weight,
+    quantize_params_int8,
+    quantize_weight,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 32)) * 0.1
+    wq = quantize_weight(w)
+    assert wq["q"].dtype == jnp.int8
+    assert wq["scale"].shape == (4, 1, 32)
+    back = dequantize_weight(wq)
+    # symmetric per-channel int8: error <= scale/2 per element
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    bound = np.asarray(wq["scale"]) / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_quantized_forward_close_to_fp32():
+    cfg = ModelConfig.tiny(dtype="float32", use_pallas_attention=False)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params_int8(cfg, params)
+    assert qparams["layers"]["wq"]["q"].dtype == jnp.int8
+    # untouched leaves
+    assert not isinstance(qparams["embed"], dict)
+    assert not isinstance(qparams["layers"]["attn_norm_scale"], dict)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    ref, _ = llark_forward(cfg, params, ids, audio_patch_id=3)
+    got, _ = llark_forward(cfg, qparams, ids, audio_patch_id=3)
+    ref, got = np.asarray(ref), np.asarray(got)
+    # logits stay strongly correlated; argmax agrees on most positions
+    cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.995, cos
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_quantized_generation_runs():
+    from llark_tpu.generate import GenerationConfig, Generator
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(64))
+    cfg = ModelConfig.tiny(dtype="float32", use_pallas_attention=False,
+                           mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params_int8(cfg, params)
+    gen = Generator(cfg, qparams, bundle.audio_patch_id,
+                    GenerationConfig(max_new_tokens=4, temperature=0.0),
+                    max_cache_len=64)
+    ids = np.full((1, 16), bundle.pad_token_id, np.int32)
+    ids[0, :4] = [bundle.tokenizer.bos_token_id, 5, 6, 7]
+    out = gen.generate(ids, np.array([4], np.int32),
+                       np.zeros((1, 2, 8), np.float32), np.array([2], np.int32))
+    assert len(out[0]) <= 4
