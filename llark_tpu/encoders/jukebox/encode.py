@@ -52,10 +52,12 @@ def prepare_audio(audio: np.ndarray) -> np.ndarray:
     return audio.flatten()
 
 
-def pad_or_crop(audio: np.ndarray) -> np.ndarray:
-    if len(audio) < JUKEBOX_EXPECTED_SAMPLES_LEN:
-        audio = np.pad(audio, (0, JUKEBOX_EXPECTED_SAMPLES_LEN - len(audio)))
-    return audio[:JUKEBOX_EXPECTED_SAMPLES_LEN]
+def pad_or_crop(
+    audio: np.ndarray, target_len: int = JUKEBOX_EXPECTED_SAMPLES_LEN
+) -> np.ndarray:
+    if len(audio) < target_len:
+        audio = np.pad(audio, (0, target_len - len(audio)))
+    return audio[:target_len]
 
 
 def pooled_frame_len(pool_frames_per_second: float) -> int:
@@ -202,7 +204,7 @@ class JukeboxEncoder:
         returns trimmed numpy activations."""
         prepared = prepare_audio(audio)
         input_len = min(len(prepared), self.samples_per_ctx)
-        padded = pad_or_crop(prepared)
+        padded = pad_or_crop(prepared, self.samples_per_ctx)
         acts, counts = self.encode_batch(padded[None], np.array([input_len]))
         out = acts[0, : counts[0]]
         if meanpool and self.pool_frames_per_second is None:
