@@ -60,13 +60,28 @@ def split_key_field(name: str) -> tuple:
 
 
 class TarShardReader:
-    """Iterate samples from one or more tar shards."""
+    """Iterate samples from one or more tar shards.
 
-    def __init__(self, paths: Sequence[str], handler: str = "warn"):
+    When the native C++ loader is available (llark_tpu/native/tarloader.cpp)
+    file IO + ustar parsing run on background threads with shard readahead;
+    sample order is identical to the sequential Python path. Set
+    use_native=False or LLARK_TPU_NO_NATIVE_TAR=1 to force pure Python.
+    """
+
+    def __init__(
+        self, paths: Sequence[str], handler: str = "warn", use_native: bool = True
+    ):
         self.paths = list(paths)
         self.handler = handler  # "warn" | "raise"
+        self.use_native = use_native and not os.environ.get("LLARK_TPU_NO_NATIVE_TAR")
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.use_native and self.handler != "raise":
+            from llark_tpu.native import tarloader
+
+            if tarloader.available():
+                yield from self._iter_native(tarloader)
+                return
         for path in self.paths:
             try:
                 yield from self._iter_shard(path)
@@ -74,6 +89,19 @@ class TarShardReader:
                 if self.handler == "raise":
                     raise
                 log.warning("skipping corrupt shard %s: %s", path, e)
+
+    def _iter_native(self, tarloader) -> Iterator[Dict[str, Any]]:
+        for raw in tarloader.iter_samples(self.paths):
+            sample: Dict[str, Any] = {"__key__": raw["__key__"]}
+            for field, data in raw.items():
+                if field == "__key__":
+                    continue
+                try:
+                    sample[field] = decode_member(f"{raw['__key__']}.{field}", data)
+                except Exception as e:  # noqa: BLE001 — skip-and-warn contract
+                    log.warning("skipping corrupt member %s.%s: %s",
+                                raw["__key__"], field, e)
+            yield sample
 
     def _iter_shard(self, path: str) -> Iterator[Dict[str, Any]]:
         with tarfile.open(path, "r|*") as tf:

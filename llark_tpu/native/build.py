@@ -25,14 +25,20 @@ _lib = None
 _tried = False
 
 
-def _compile() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC]
+def compile_native(src: str, so: str, extra_flags=()) -> bool:
+    """g++ -O3 build of one source file into a shared object."""
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", *extra_flags,
+           "-o", so, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except (subprocess.SubprocessError, FileNotFoundError) as e:
-        log.warning("native audioproc build failed (%s); using numpy fallback", e)
+        log.warning("native build of %s failed (%s)", os.path.basename(src), e)
         return False
+
+
+def _compile() -> bool:
+    return compile_native(_SRC, _SO)
 
 
 def load_library() -> Optional[ctypes.CDLL]:

@@ -1,0 +1,267 @@
+// Native WebDataset tar shard loader.
+//
+// The training input pipeline's hot host path (reference: webdataset's
+// Python tar iteration inside DataLoader workers, m2t/data_modules.py:466-520)
+// rebuilt as a C++ loader: a pool of reader threads parses whole ustar
+// shards ahead of the consumer (bounded readahead), grouping consecutive
+// members that share a key into samples. Ordering is identical to a
+// sequential read: shards are consumed in submission order, samples in
+// shard order — only the parsing/IO runs ahead on background threads.
+//
+// C API (ctypes): opaque loader + sample handles; field payloads are
+// returned as (pointer, size) pairs valid until ljt_sample_free.
+//
+// Build: g++ -O3 -shared -fPIC -pthread -o _tarloader.so tarloader.cpp
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Field {
+  std::string name;  // field name after the key prefix, e.g. "json"
+  std::unique_ptr<uint8_t[]> data;  // payload bytes (no zero-init pass)
+  long size = 0;
+};
+
+struct Sample {
+  std::string key;
+  std::vector<Field> fields;
+};
+
+// ---- ustar parsing --------------------------------------------------------
+
+long parse_octal(const char* p, int n) {
+  long v = 0;
+  for (int i = 0; i < n && p[i]; ++i) {
+    char c = p[i];
+    if (c == ' ') continue;
+    if (c < '0' || c > '7') break;
+    v = (v << 3) | (c - '0');
+  }
+  return v;
+}
+
+// split "dir/key.field.ext" -> key="dir/key", field="field.ext"
+void split_key_field(const std::string& name, std::string* key, std::string* field) {
+  size_t slash = name.find_last_of('/');
+  std::string dir = (slash == std::string::npos) ? "" : name.substr(0, slash);
+  std::string fname = (slash == std::string::npos) ? name : name.substr(slash + 1);
+  size_t dot = fname.find('.');
+  std::string base = (dot == std::string::npos) ? fname : fname.substr(0, dot);
+  *field = (dot == std::string::npos) ? "" : fname.substr(dot + 1);
+  *key = dir.empty() ? base : dir + "/" + base;
+}
+
+// Parse one whole .tar file into grouped samples. Returns false on IO error.
+bool parse_shard(const std::string& path, std::deque<Sample>* out) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  std::vector<uint8_t> header(512);
+  Sample current;
+  bool have_current = false;
+  std::string longname;  // GNU 'L' long-name payload for the next entry
+  while (std::fread(header.data(), 1, 512, f) == 512) {
+    // two zero blocks = end of archive; a single zero header also stops us
+    bool all_zero = true;
+    for (int i = 0; i < 512; ++i)
+      if (header[i]) { all_zero = false; break; }
+    if (all_zero) break;
+
+    // validate the header checksum (offset 148, 8 bytes, octal of the sum
+    // with the checksum field itself counted as spaces) — rejects
+    // non-tar/corrupt input instead of yielding garbage samples
+    long stored = parse_octal(reinterpret_cast<const char*>(header.data()) + 148, 8);
+    long computed = 0;
+    for (int i = 0; i < 512; ++i)
+      computed += (i >= 148 && i < 156) ? ' ' : header[i];
+    if (stored != computed) {
+      std::fclose(f);
+      if (have_current) out->push_back(std::move(current));
+      return false;
+    }
+
+    char namebuf[257] = {0};
+    // ustar prefix field (offset 345, len 155) + name (offset 0, len 100)
+    if (std::memcmp(header.data() + 257, "ustar", 5) == 0 && header[345]) {
+      size_t p = 0;
+      for (; p < 155 && header[345 + p]; ++p) namebuf[p] = header[345 + p];
+      namebuf[p] = '/';
+      std::memcpy(namebuf + p + 1, header.data(), 100);
+    } else {
+      std::memcpy(namebuf, header.data(), 100);
+    }
+    std::string name(namebuf);
+    if (!longname.empty()) {
+      name = longname;
+      longname.clear();
+    }
+    long size = parse_octal(reinterpret_cast<const char*>(header.data()) + 124, 12);
+    char typeflag = header[156];
+    long padded = (size + 511) & ~511L;
+
+    if (typeflag == 'L') {  // GNU long name: payload is the real name
+      std::vector<char> buf(padded);
+      if (std::fread(buf.data(), 1, padded, f) != static_cast<size_t>(padded)) break;
+      longname.assign(buf.data(), strnlen(buf.data(), size));
+      continue;
+    }
+    if (typeflag != '0' && typeflag != '\0') {  // skip non-regular files
+      if (std::fseek(f, padded, SEEK_CUR) != 0) break;
+      continue;
+    }
+
+    std::unique_ptr<uint8_t[]> data(size > 0 ? new uint8_t[size] : nullptr);
+    if (size > 0 && std::fread(data.get(), 1, size, f) != static_cast<size_t>(size)) break;
+    long pad = padded - size;
+    if (pad > 0 && std::fseek(f, pad, SEEK_CUR) != 0) break;
+
+    std::string key, field;
+    split_key_field(name, &key, &field);
+    if (have_current && key != current.key) {
+      out->push_back(std::move(current));
+      current = Sample();
+    }
+    have_current = true;
+    current.key = key;
+    current.fields.push_back(Field{std::move(field), std::move(data), size});
+  }
+  if (have_current) out->push_back(std::move(current));
+  std::fclose(f);
+  return true;
+}
+
+// ---- threaded shard-readahead loader --------------------------------------
+
+struct ShardSlot {
+  std::deque<Sample> samples;
+  bool done = false;   // parse finished
+  bool failed = false; // IO error (skip-and-warn semantics)
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  std::deque<ShardSlot> slots;  // deque: no relocation, works move-only
+  std::atomic<size_t> next_to_parse{0};
+  size_t readahead;
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv;
+  size_t consume_idx = 0;   // shard currently being consumed
+  std::atomic<bool> stop{false};
+
+  void worker() {
+    for (;;) {
+      if (stop.load()) return;
+      size_t idx = next_to_parse.fetch_add(1);
+      if (idx >= paths.size()) return;
+      // bound readahead: wait until the consumer is close enough
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] {
+          return stop.load() || idx < consume_idx + readahead;
+        });
+        if (stop.load()) return;
+      }
+      std::deque<Sample> parsed;
+      bool ok = parse_shard(paths[idx], &parsed);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        slots[idx].samples = std::move(parsed);
+        slots[idx].done = true;
+        slots[idx].failed = !ok;
+      }
+      cv.notify_all();
+    }
+  }
+
+  Sample* next() {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      if (consume_idx >= paths.size()) return nullptr;
+      ShardSlot& slot = slots[consume_idx];
+      if (!slot.done) {
+        cv.wait(lk, [&] { return slots[consume_idx].done || stop.load(); });
+        if (stop.load()) return nullptr;
+        continue;
+      }
+      if (!slot.samples.empty()) {
+        Sample* s = new Sample(std::move(slot.samples.front()));
+        slot.samples.pop_front();
+        return s;
+      }
+      // shard drained (or failed -> empty): advance and let workers refill
+      ++consume_idx;
+      cv.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ljt_loader_open(const char** paths, long n_paths, int n_threads,
+                      long readahead) {
+  auto* L = new Loader();
+  L->paths.assign(paths, paths + n_paths);
+  for (size_t i = 0; i < L->paths.size(); ++i) L->slots.emplace_back();
+  L->readahead = readahead > 0 ? static_cast<size_t>(readahead) : 2;
+  int nt = n_threads > 0 ? n_threads : 2;
+  for (int i = 0; i < nt; ++i) L->threads.emplace_back(&Loader::worker, L);
+  return L;
+}
+
+void* ljt_loader_next(void* h) {
+  return static_cast<Loader*>(h)->next();
+}
+
+int ljt_loader_shard_failed(void* h, long idx) {
+  auto* L = static_cast<Loader*>(h);
+  if (idx < 0 || static_cast<size_t>(idx) >= L->slots.size()) return 0;
+  std::lock_guard<std::mutex> lk(L->mu);
+  return L->slots[idx].done && L->slots[idx].failed ? 1 : 0;
+}
+
+void ljt_loader_close(void* h) {
+  auto* L = static_cast<Loader*>(h);
+  L->stop.store(true);
+  L->cv.notify_all();
+  for (auto& t : L->threads) t.join();
+  delete L;
+}
+
+const char* ljt_sample_key(void* s) {
+  return static_cast<Sample*>(s)->key.c_str();
+}
+
+long ljt_sample_nfields(void* s) {
+  return static_cast<long>(static_cast<Sample*>(s)->fields.size());
+}
+
+const char* ljt_sample_field_name(void* s, long i) {
+  return static_cast<Sample*>(s)->fields[i].name.c_str();
+}
+
+long ljt_sample_field_size(void* s, long i) {
+  return static_cast<Sample*>(s)->fields[i].size;
+}
+
+const uint8_t* ljt_sample_field_data(void* s, long i) {
+  return static_cast<Sample*>(s)->fields[i].data.get();
+}
+
+void ljt_sample_free(void* s) {
+  delete static_cast<Sample*>(s);
+}
+
+}  // extern "C"

@@ -191,3 +191,51 @@ def test_shuffled_is_permutation():
     out = list(shuffled(iter(range(100)), buffer_size=10, rng=rng))
     assert sorted(out) == list(range(100))
     assert out != list(range(100))
+
+
+def test_native_tarloader_matches_python(tmp_path):
+    """The C++ loader yields identical samples in identical order."""
+    import pytest
+    from llark_tpu.data.webdataset import TarShardReader, TarShardWriter
+    from llark_tpu.native import tarloader
+
+    if not tarloader.available():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.RandomState(0)
+    paths = []
+    w = TarShardWriter(str(tmp_path / "shard-%05d.tar"), max_count=3)
+    for i in range(8):  # spans 3 shards
+        w.write({
+            "__key__": f"s{i:04d}",
+            "json": {"idx": i, "text": "x" * i},
+            "audio_encoding.pyd": rng.randn(3, 4).astype(np.float32),
+        })
+    w.close()
+    paths = w.written_paths
+
+    native = list(TarShardReader(paths, use_native=True))
+    python = list(TarShardReader(paths, use_native=False))
+    assert len(native) == len(python) == 8
+    for a, b in zip(native, python):
+        assert a["__key__"] == b["__key__"]
+        assert a["json"] == b["json"]
+        np.testing.assert_array_equal(a["audio_encoding.pyd"], b["audio_encoding.pyd"])
+
+
+def test_native_tarloader_skips_corrupt_shard(tmp_path):
+    import pytest
+    from llark_tpu.data.webdataset import TarShardReader, TarShardWriter
+    from llark_tpu.native import tarloader
+
+    if not tarloader.available():
+        pytest.skip("no native toolchain")
+
+    w = TarShardWriter(str(tmp_path / "ok-%05d.tar"), max_count=10)
+    w.write({"__key__": "a", "json": {"v": 1}})
+    w.close()
+    bad = str(tmp_path / "bad.tar")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a tar file" * 10)
+    samples = list(TarShardReader([bad, w.written_paths[0]], use_native=True))
+    assert [s["__key__"] for s in samples] == ["a"]
