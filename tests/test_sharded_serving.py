@@ -1,0 +1,59 @@
+"""Tensor/data-parallel serving equals the single-chip path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import GenerationConfig, Generator
+from llark_tpu.models.fusion import init_llark_params
+from llark_tpu.parallel.mesh import make_mesh
+from llark_tpu.parallel.serving import ShardedGenerator
+from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    b, s = 4, 32
+    ids = np.full((b, s), bundle.pad_token_id, np.int32)
+    plens = np.array([5, 9, 7, 6], np.int32)
+    for i, L in enumerate(plens):
+        ids[i, :L] = rng.randint(4, 40, L)
+        ids[i, 0] = bundle.tokenizer.bos_token_id
+    audio = rng.randn(b, 3, 8).astype(np.float32)
+    fcnt = np.array([3, 2, 3, 1], np.int32)
+    return bundle, cfg, params, ids, plens, audio, fcnt
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4), (4, 1, 2)])
+def test_sharded_matches_single_chip(setup, mesh_shape):
+    bundle, cfg, params, ids, plens, audio, fcnt = setup
+    gen_cfg = GenerationConfig(max_new_tokens=6, temperature=0.0,
+                               stop_text="", decode_chunk=3)
+    single = Generator(cfg, params, bundle.audio_patch_id, gen_cfg,
+                       max_cache_len=64)
+    ref = single.generate(ids, plens, audio, fcnt)
+
+    mesh = make_mesh(mesh_shape)
+    sharded = ShardedGenerator(mesh, cfg, params, bundle.audio_patch_id,
+                               gen_cfg, max_cache_len=64)
+    got = sharded.generate(ids, plens, audio, fcnt)
+    assert got == ref
+
+
+def test_sharded_keyword_stopping(setup):
+    bundle, cfg, params, ids, plens, audio, fcnt = setup
+    gen_cfg = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                               stop_text="###", decode_chunk=4)
+    mesh = make_mesh((1, 2, 4))
+    sharded = ShardedGenerator(mesh, cfg, params, bundle.audio_patch_id,
+                               gen_cfg, max_cache_len=64)
+    out = sharded.generate(ids, plens, audio, fcnt,
+                           tokenizer=bundle.tokenizer)
+    assert all(len(o) <= 8 for o in out)
