@@ -123,3 +123,55 @@ def test_prompt_end_token_sequence_found_in_conversation():
     prompt = extract_prompt_tokens(ids, end_seq)
     text = bundle.decode(prompt)
     assert text.rstrip().endswith("Assistant:") or text.rstrip().endswith("Assistant :")
+
+
+def test_conversation_separator_styles():
+    from llark_tpu.conversation import (
+        CONVERSATION_TEMPLATES,
+        SeparatorStyle,
+        conv_mpt,
+        conv_vicuna_v1,
+        default_conversation,
+    )
+
+    msgs = [("Human", "hi"), ("Assistant", None)]
+    single = default_conversation.get_prompt(msgs)
+    assert single.endswith("Human: hi###Assistant:")
+
+    two = conv_vicuna_v1.get_prompt(
+        [("USER", "hi"), ("ASSISTANT", "hello"), ("USER", "more"), ("ASSISTANT", None)]
+    )
+    assert "USER: hi ASSISTANT: hello</s>" in two
+    assert two.endswith("ASSISTANT:")
+
+    mpt = conv_mpt.get_prompt(
+        [("<|im_start|>user\n", "hi"), ("<|im_start|>assistant\n", None)]
+    )
+    assert "<|im_start|>user\nhi<|im_end|>" in mpt
+    assert mpt.endswith("<|im_start|>assistant\n")
+    assert set(CONVERSATION_TEMPLATES) == {"v1_2", "vicuna_v1", "mpt"}
+
+
+def test_prompt_text_files_resolve():
+    from llark_tpu.dataset_utils import DATASET_INFO
+    from llark_tpu.instruct.prompting import resolve_prompt_text
+
+    # the 10 file-backed combos the reference ships
+    combos = [("mir", d) for d in ("musicnet", "mtg-jamendo", "magnatagatune", "fma")]
+    combos += [("reasoning", d) for d in ("musicnet", "mtg-jamendo", "magnatagatune", "fma")]
+    combos += [("captioning", "musicnet"), ("captioning", "fsl10k")]
+    for ptype, ds in combos:
+        text = resolve_prompt_text(ptype, ds)
+        assert "JSON" in text and "dataset" not in text.split()[:5]
+    # default prompt always available (missing in the reference release)
+    assert "musicologist" in resolve_prompt_text("default", "any")
+
+
+def test_keys_resolve_from_env(monkeypatch):
+    from llark_tpu import keys
+
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+    monkeypatch.setenv("HF_TOKEN", "hf-test")
+    monkeypatch.delenv("HUGGING_FACE_HUB_TOKEN", raising=False)
+    assert keys.openai_api_key() == "sk-test"
+    assert keys.hugging_face_hub_token() == "hf-test"
