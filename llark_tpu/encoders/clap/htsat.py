@@ -266,6 +266,14 @@ def wav2img(mel: jnp.ndarray, cfg: HTSATConfig) -> jnp.ndarray:
 
 def htsat_embed(cfg: HTSATConfig, params: Params, mel: jnp.ndarray) -> jnp.ndarray:
     """log-mel [B, T, F] -> CLAP audio embedding [B, out_dim]."""
+    bn = params.get("mel_bn")
+    if bn is not None:
+        # per-mel-bin BatchNorm in eval mode = affine with running stats
+        # (HF ClapAudioEncoder.batch_norm)
+        inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + 1e-5)
+        mel = ((mel.astype(jnp.float32) - bn["mean"]) * inv * bn["g"] + bn["b"]).astype(
+            mel.dtype
+        )
     x = wav2img(mel, cfg)  # [B,1,S,S]
     pe = params["patch_embed"]
     x = jax.lax.conv_general_dilated(

@@ -159,15 +159,18 @@ def run_clap(ns) -> int:
     from llark_tpu.audio.io import read_wav
     from llark_tpu.encoders.clap.encode import ClapEncoder, prepare_clip
 
-    if ns.tiny:
+    if ns.checkpoint:
+        from llark_tpu.encoders.clap.import_hf import load_clap_encoder
+
+        cfg, params = load_clap_encoder(ns.checkpoint)
+        enc = ClapEncoder(cfg, params)
+    elif ns.tiny:
         from llark_tpu.encoders.clap.htsat import HTSATConfig
 
         enc = ClapEncoder.random_init(HTSATConfig.tiny())
     else:
+        log.warning("no --checkpoint given: RANDOM weights (throughput/dev only)")
         enc = ClapEncoder.random_init()
-    if ns.checkpoint:
-        log.warning("CLAP torch-checkpoint import not wired in this CLI; "
-                    "pass params to ClapEncoder directly")
     os.makedirs(ns.output_dir, exist_ok=True)
     files = list_shard(ns.input_dir, ns.num_shards, ns.shard_index,
                        ns.skip_existing, ns.output_dir)
