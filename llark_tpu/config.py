@@ -164,6 +164,8 @@ class TrainingArguments:
     seed: int = 42
     bf16: bool = True
     gradient_checkpointing: bool = True
+    # Quantized training (reference: m2t/arguments.py:112-133 bnb bits)
+    bits: int = 16  # 16 = full; 8 = int8 frozen base (QLoRA with lora_enable)
     # LoRA (reference: m2t/arguments.py:96-108)
     lora_enable: bool = False
     lora_r: int = 64

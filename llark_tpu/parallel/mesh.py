@@ -118,6 +118,32 @@ def param_partition_specs(cfg: ModelConfig, multimodal: bool = True) -> Dict[str
     return specs
 
 
+def adapt_specs_to_params(specs: Any, params: Any) -> Any:
+    """Expand P-leaf specs into {q, scale} spec dicts wherever the param
+    tree holds an int8-quantized weight (llark_tpu/models/quant.py)."""
+
+    def is_quant(p) -> bool:
+        return isinstance(p, dict) and "q" in p and "scale" in p
+
+    def walk(spec, p):
+        if is_quant(p):
+            base = spec if isinstance(spec, P) else P()
+            tail = base[-1] if len(base) else None
+            scale_spec = P(*([None] * (p["scale"].ndim - 1) + [tail]))
+            return {"q": base, "scale": scale_spec}
+        if isinstance(p, dict):
+            return {k: walk(spec[k] if isinstance(spec, dict) else spec, v)
+                    for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(
+                walk(spec[i] if isinstance(spec, (list, tuple)) else spec, v)
+                for i, v in enumerate(p)
+            )
+        return spec
+
+    return walk(specs, params)
+
+
 def param_shardings(mesh: Mesh, specs) -> Any:
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),

@@ -18,8 +18,11 @@ class TrainState:
         self.step = step
 
     @classmethod
-    def create(cls, params, optimizer) -> "TrainState":
-        return cls(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    def create(cls, params, optimizer, partition=None) -> "TrainState":
+        """With a ParamPartition, optimizer state covers only the trainable
+        leaves (QLoRA / adapter stages: no state for the frozen backbone)."""
+        target = partition.trainable(params) if partition is not None else params
+        return cls(params, optimizer.init(target), jnp.zeros((), jnp.int32))
 
     def replace(self, **kw) -> "TrainState":
         return TrainState(

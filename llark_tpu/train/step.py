@@ -74,6 +74,34 @@ def trainable_mask(
     return {k: mask_entry(k, v) for k, v in params.items()}
 
 
+class ParamPartition:
+    """Static index split of a param pytree into trainable/frozen leaves.
+
+    Gradients are taken ONLY over the trainable leaf list — required for
+    QLoRA (int8 base weights are not differentiable) and avoids
+    materializing full-size zero gradients + optimizer state for frozen
+    7B weights during adapter/LoRA stages."""
+
+    def __init__(self, params, mask):
+        leaves, self.treedef = jax.tree.flatten(params)
+        mask_leaves, mask_def = jax.tree.flatten(mask)
+        if len(mask_leaves) != len(leaves):
+            raise ValueError("mask structure does not match params")
+        self.train_idx = tuple(
+            i for i, m in enumerate(mask_leaves) if bool(m)
+        )
+
+    def trainable(self, params):
+        leaves = jax.tree.flatten(params)[0]
+        return [leaves[i] for i in self.train_idx]
+
+    def rebuild(self, params, train_leaves):
+        leaves = list(jax.tree.flatten(params)[0])
+        for j, i in enumerate(self.train_idx):
+            leaves[i] = train_leaves[j]
+        return jax.tree.unflatten(self.treedef, leaves)
+
+
 def make_optimizer(
     args: TrainingArguments,
     params: Dict[str, Any],
@@ -117,6 +145,7 @@ def make_train_step(
     grad_accum_steps: int = 1,
     trainable_token_start: Optional[int] = None,
     dropout_seed: Optional[int] = None,  # enables LoRA dropout when set
+    partition: Optional["ParamPartition"] = None,  # grad over trainable only
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the (jittable) train step.
 
@@ -153,6 +182,8 @@ def make_train_step(
             if use_dropout
             else None
         )
+        if partition is not None:
+            return _partitioned_step(state, batch, rng)
         if grad_accum_steps > 1:
             def reshape(x):
                 return x.reshape((grad_accum_steps, x.shape[0] // grad_accum_steps) + x.shape[1:])
@@ -186,6 +217,57 @@ def make_train_step(
         )
         grad_norm = optax.global_norm(grads)
         metrics = {"loss": loss, "num_tokens": n_tok, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    def _partitioned_step(state: TrainState, batch, rng):
+        """Differentiate only the trainable leaf list (QLoRA-safe: frozen
+        int8 leaves never enter the grad)."""
+        train_leaves = partition.trainable(state.params)
+
+        def part_loss(tl, micro, mrng):
+            params = partition.rebuild(state.params, tl)
+            return loss_fn(params, micro, mrng)
+
+        part_grad = jax.value_and_grad(part_loss, has_aux=True)
+
+        if grad_accum_steps > 1:
+            def reshape(x):
+                return x.reshape(
+                    (grad_accum_steps, x.shape[0] // grad_accum_steps) + x.shape[1:]
+                )
+
+            micro_batches = jax.tree.map(reshape, batch)
+
+            def accum(carry, xs):
+                g_acc, loss_acc, tok_acc, i = carry
+                mrng = jax.random.fold_in(rng, i) if rng is not None else None
+                (loss, n_tok), g = part_grad(train_leaves, xs, mrng)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + loss, tok_acc + n_tok, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, train_leaves)
+            (g_sum, loss_sum, tok_sum, _), _ = jax.lax.scan(
+                accum,
+                (zeros, 0.0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+                micro_batches,
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum_steps, g_sum)
+            loss = loss_sum / grad_accum_steps
+            n_tok = tok_sum
+        else:
+            (loss, n_tok), grads = part_grad(train_leaves, batch, rng)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, train_leaves)
+        new_train = optax.apply_updates(train_leaves, updates)
+        new_params = partition.rebuild(state.params, new_train)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        metrics = {
+            "loss": loss,
+            "num_tokens": n_tok,
+            "grad_norm": optax.global_norm(grads),
+        }
         return new_state, metrics
 
     return train_step

@@ -36,6 +36,7 @@ from llark_tpu.data.pipeline import make_data_module
 from llark_tpu.models.fusion import init_llark_params
 from llark_tpu.parallel.mesh import (
     AXES,
+    adapt_specs_to_params,
     make_mesh,
     param_partition_specs,
     shard_params,
@@ -188,16 +189,39 @@ def train(
         params = init_lora_params(
             cfg, jax.random.PRNGKey(training_args.seed + 1), params
         )
-    specs = param_partition_specs(cfg)
+    if training_args.bits == 8:
+        # QLoRA-style: int8 frozen base (reference: bnb 4/8-bit,
+        # m2t/arguments.py:112-133). Requires a frozen-base mode.
+        if not (training_args.lora_enable or model_args.freeze_backbone
+                or model_args.tune_mm_mlp_adapter):
+            raise ValueError("--bits 8 requires lora_enable / freeze_backbone "
+                             "/ tune_mm_mlp_adapter (int8 base is frozen)")
+        from llark_tpu.models.quant import quantize_params_int8_incremental
+
+        params = quantize_params_int8_incremental(cfg, params)
+        log.info("quantized frozen base weights to int8")
+    specs = adapt_specs_to_params(param_partition_specs(cfg), params)
     params = shard_params(mesh, params, specs)
 
-    optimizer = make_optimizer(
-        training_args,
-        params,
-        freeze_backbone=model_args.freeze_backbone,
-        tune_mm_mlp_adapter=model_args.tune_mm_mlp_adapter,
-        lora=training_args.lora_enable,
+    partitioned = (
+        model_args.freeze_backbone
+        or model_args.tune_mm_mlp_adapter
+        or training_args.lora_enable
     )
+    if partitioned:
+        from llark_tpu.train.step import ParamPartition, trainable_mask
+
+        mask = trainable_mask(
+            params,
+            freeze_backbone=model_args.freeze_backbone,
+            tune_mm_mlp_adapter=model_args.tune_mm_mlp_adapter,
+            lora=training_args.lora_enable,
+        )
+        param_partition = ParamPartition(params, mask)
+        optimizer = make_optimizer(training_args, params)  # plain core
+    else:
+        param_partition = None
+        optimizer = make_optimizer(training_args, params)
 
     def ensure_on_mesh(x):
         """Replicate any leaf not already laid out on this mesh (opt counts,
@@ -207,7 +231,9 @@ def train(
             return x
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    state = jax.tree.map(ensure_on_mesh, TrainState.create(params, optimizer))
+    state = jax.tree.map(
+        ensure_on_mesh, TrainState.create(params, optimizer, param_partition)
+    )
 
     # trainable_token_start: only the 3 appended audio tokens' embedding rows
     # receive gradients during adapter tuning (reference llamav2.py:176-198)
@@ -223,6 +249,7 @@ def train(
         grad_accum_steps=training_args.gradient_accumulation_steps,
         trainable_token_start=trainable_start,
         dropout_seed=training_args.seed if training_args.lora_enable else None,
+        partition=param_partition,
     )
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 

@@ -177,3 +177,54 @@ def test_lora_sharded_specs_cover_tree():
                  is_leaf=lambda x: hasattr(x, "shape") or x is None)
     for k in lora_keys(params):
         assert k in specs["layers"], f"missing spec for {k}"
+
+
+def test_qlora_int8_base_training(tmp_path):
+    """bits=8 + lora: int8 frozen base, trainable LoRA, loss decreases."""
+    from llark_tpu.config import DataArguments, ModelArguments, TrainingArguments
+    from llark_tpu.data.webdataset import TarShardWriter
+    from llark_tpu.train.train import train
+
+    w = TarShardWriter(str(tmp_path / "mir-train-%05d.tar"), max_count=100)
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        w.write({
+            "__key__": f"t{i:03d}",
+            "json": {"response": [{"question": "genre ?", "answer": "jazz ."}]},
+            "audio_encoding.pyd": rng.randn(6, 16).astype(np.float32),
+        })
+    w.close()
+
+    result = train(
+        ModelArguments(model_name_or_path="tiny", mm_hidden_size=16),
+        DataArguments(train_data_path=str(tmp_path / "mir-train-00000.tar"),
+                      max_audio_frames=6, task_sample_probs={"mir": 1.0}),
+        TrainingArguments(output_dir=str(tmp_path / "out"),
+                          per_device_train_batch_size=2,
+                          gradient_accumulation_steps=2, model_max_length=96,
+                          learning_rate=5e-3, max_steps=8, save_steps=100,
+                          logging_steps=1, mesh_shape=(1, 1, 1), seed=0,
+                          bits=8, lora_enable=True, lora_r=4, lora_alpha=8,
+                          lora_dropout=0.0),
+    )
+    losses = result["losses"]
+    assert losses[-1] < losses[0]
+    final = jax.device_get(result["state"].params)
+    # base stayed int8 and untouched
+    assert final["layers"]["wq"]["q"].dtype.name == "int8"
+    # LoRA B moved; adapter exported
+    assert np.abs(np.asarray(final["layers"]["wq_lora_b"])).max() > 0
+    assert glob.glob(str(tmp_path / "out" / "adapter" / "adapter.npz"))
+
+
+def test_bits8_requires_frozen_base(tmp_path):
+    from llark_tpu.config import DataArguments, ModelArguments, TrainingArguments
+    from llark_tpu.train.train import train
+
+    with pytest.raises(ValueError, match="bits 8"):
+        train(
+            ModelArguments(model_name_or_path="tiny", mm_hidden_size=16),
+            DataArguments(train_data_path="/nonexistent", max_audio_frames=4),
+            TrainingArguments(output_dir=str(tmp_path / "out"), bits=8,
+                              max_steps=1, mesh_shape=(1, 1, 1)),
+        )
