@@ -198,6 +198,7 @@ def make_dataset_iterator(
     seed: int = 0,
     max_batches: Optional[int] = None,
     prefetch: int = 4,
+    skip_batches: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Full pipeline: urls -> per-host shards -> samples -> conversations ->
     arrays -> shuffled -> collated fixed-shape batches."""
@@ -224,9 +225,17 @@ def make_dataset_iterator(
     def batch_stream():
         batch: List[Dict[str, Any]] = []
         n = 0
+        skipped = 0
         for ex in stream:
             batch.append(ex)
             if len(batch) == batch_size:
+                if skipped < skip_batches:
+                    # resume fast-forward: walk the identical stream (same
+                    # seed, same shuffle-buffer state) without collating so
+                    # restarted runs do not re-train on already-seen batches
+                    skipped += 1
+                    batch = []
+                    continue
                 yield collate(
                     batch, bundle, max_seq_len, data_args.max_audio_frames, mm_hidden_size
                 )
@@ -255,7 +264,7 @@ def make_data_module(
     eval iterator factories keyed off DataArguments paths."""
     out: Dict[str, Any] = {}
     if data_args.train_data_path:
-        out["train_iterator"] = lambda: make_dataset_iterator(
+        out["train_iterator"] = lambda skip_batches=0: make_dataset_iterator(
             data_args.train_data_path,
             bundle,
             data_args,
@@ -264,6 +273,7 @@ def make_data_module(
             mm_hidden_size=mm_hidden_size,
             is_train=True,
             seed=seed,
+            skip_batches=skip_batches,
         )
     if data_args.eval_data_path:
         out["eval_iterator"] = lambda: make_dataset_iterator(

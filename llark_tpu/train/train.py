@@ -280,7 +280,10 @@ def train(
         mm_hidden_size=cfg.mm_hidden_size,
         seed=training_args.seed,
     )
-    iterator = data_module["train_iterator"]()
+    # on resume, fast-forward the (deterministic, same-seed) stream so we
+    # do not re-train on the first start_step batches (SURVEY §5: restore
+    # of data-iterator position)
+    iterator = data_module["train_iterator"](skip_batches=start_step)
 
     def put(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}

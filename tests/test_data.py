@@ -239,3 +239,33 @@ def test_native_tarloader_skips_corrupt_shard(tmp_path):
         f.write(b"this is not a tar file" * 10)
     samples = list(TarShardReader([bad, w.written_paths[0]], use_native=True))
     assert [s["__key__"] for s in samples] == ["a"]
+
+
+def test_skip_batches_fast_forward(tmp_path):
+    """skip_batches=N yields exactly the batches a fresh iterator yields
+    after N (deterministic stream replay for resume)."""
+    from llark_tpu.config import DataArguments
+    from llark_tpu.data.pipeline import make_dataset_iterator
+    from llark_tpu.data.webdataset import TarShardWriter
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    w = TarShardWriter(str(tmp_path / "mir-train-%05d.tar"), max_count=100)
+    rng = np.random.RandomState(0)
+    for i in range(24):
+        w.write({"__key__": f"t{i:03d}",
+                 "json": {"response": [{"question": f"q {i} ?", "answer": f"a {i} ."}]},
+                 "audio_encoding.pyd": rng.randn(4, 8).astype(np.float32)})
+    w.close()
+
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(64))
+    args = DataArguments(train_data_path=str(tmp_path / "mir-train-00000.tar"),
+                         max_audio_frames=4, task_sample_probs={"mir": 1.0})
+    kw = dict(bundle=bundle, data_args=args, batch_size=4, max_seq_len=64,
+              mm_hidden_size=8, is_train=True, seed=7)
+    full = [b for _, b in zip(range(5), make_dataset_iterator(
+        str(tmp_path / "mir-train-00000.tar"), **kw))]
+    skipped = [b for _, b in zip(range(3), make_dataset_iterator(
+        str(tmp_path / "mir-train-00000.tar"), skip_batches=2, **kw))]
+    for a, b in zip(full[2:], skipped):
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+        np.testing.assert_array_equal(a["audio_encodings"], b["audio_encodings"])
