@@ -107,15 +107,23 @@ def run(cfg_name: str):
     sync(toks)
     token = toks[:, -1]
 
-    N = 2 * CHUNK
-    t0 = time.perf_counter()
-    for i in range(2):
-        toks, lg, cache = decode_n(params, token, cache, plen + CHUNK * (i + 1), key)
-        token = toks[:, -1]
-    sync(token)
-    dt = time.perf_counter() - t0
-    toks_per_s = N * B / dt
-    return cfg_name, toks_per_s, ttft, baseline
+    # best-of-3 over 4-chunk windows (tunnel latency is noisy)
+    best = 0.0
+    step_base = 1
+    for _rep in range(3):
+        N = 4 * CHUNK
+        t0 = time.perf_counter()
+        for i in range(4):
+            toks, lg, cache = decode_n(
+                params, token, cache, plen + CHUNK * (step_base + i), key
+            )
+            token = toks[:, -1]
+        sync(token)
+        best = max(best, N * B / (time.perf_counter() - t0))
+        step_base += 4
+        if (step_base + 4) * CHUNK + PROMPT > MAX_LEN:
+            break
+    return cfg_name, best, ttft, baseline
 
 
 def run_jukebox():
