@@ -48,6 +48,9 @@ class ModelConfig:
     attention_block_q: int = 256
     attention_block_k: int = 256
     remat: bool = True
+    # from-scratch init scheme: kaiming | xavier | small
+    # (reference: m2t/llava/model/mpt/param_init_fns.py MODEL_INIT_REGISTRY)
+    init_scheme: str = "kaiming"
     # LoRA (0 = disabled; see llark_tpu/models/lora.py)
     lora_rank: int = 0
     lora_alpha: float = 16.0

@@ -92,14 +92,32 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
 
 
 def init_decoder_params(cfg: ModelConfig, key: jax.Array) -> Params:
-    """Initialize a parameter pytree. Layer weights are stacked on axis 0."""
+    """Initialize a parameter pytree. Layer weights are stacked on axis 0.
+
+    Init-scheme registry (reference: m2t/llava/model/mpt/param_init_fns.py
+    MODEL_INIT_REGISTRY): cfg.init_scheme selects how dense weights draw —
+      kaiming  (default): N(0, 1/fan_in)
+      xavier:  N(0, 2/(fan_in + fan_out))
+      small:   N(0, (2/(5*fan_in)))  (per Nguyen & Salazar 2019, MPT's
+               'small_init' used by llm-foundry configs)
+    Pretrained imports overwrite these values, so the scheme matters only
+    for training from scratch."""
     pdt = jnp.dtype(cfg.param_dtype)
     h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     keys = jax.random.split(key, 16)
+    scheme = getattr(cfg, "init_scheme", "kaiming")
+
+    def _std(fan_in, fan_out):
+        if scheme == "xavier":
+            return math.sqrt(2.0 / (fan_in + fan_out))
+        if scheme == "small":
+            return math.sqrt(2.0 / (5.0 * fan_in))
+        return 1.0 / math.sqrt(fan_in)  # kaiming
 
     def dense(k, shape, fan_in):
-        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(pdt)
+        fan_out = shape[-1]
+        return (jax.random.normal(k, shape, jnp.float32) * _std(fan_in, fan_out)).astype(pdt)
 
     layers: Params = {
         "attn_norm_scale": jnp.ones((L, h), pdt),
@@ -210,6 +228,7 @@ def _layer_forward(
     cache_index: Optional[jnp.ndarray],  # scalar (prefill)
     cache_positions: Optional[jnp.ndarray],  # [B] per-row write pos (decode)
     dropout_rng: Optional[jax.Array] = None,  # per-layer key (LoRA dropout)
+    prefix_lengths: Optional[jnp.ndarray] = None,  # [B] prefix-LM boundary
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     dtype = x.dtype
     b, s, h = x.shape
@@ -267,6 +286,7 @@ def _layer_forward(
             use_pallas=cfg.use_pallas_attention,
             block_q=cfg.attention_block_q,
             block_k=cfg.attention_block_k,
+            prefix_lengths=prefix_lengths,
         )
 
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
@@ -302,6 +322,7 @@ def decoder_forward(
     cache_positions: Optional[jnp.ndarray] = None,  # [B] ragged decode writes
     return_hidden: bool = False,
     dropout_rng: Optional[jax.Array] = None,  # enables LoRA dropout (training)
+    prefix_lengths: Optional[jnp.ndarray] = None,  # [B] prefix-LM boundaries
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_kv_cache|None).
 
@@ -348,7 +369,8 @@ def decoder_forward(
             return out, (nk, nv)
         lp = xs
         out, _, _ = _layer_forward(
-            cfg, lp, xh, positions, seq_lengths, slopes, None, None, None, None, rng
+            cfg, lp, xh, positions, seq_lengths, slopes, None, None, None, None,
+            rng, prefix_lengths,
         )
         return out, None
 

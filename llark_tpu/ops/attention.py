@@ -66,11 +66,15 @@ def xla_attention(
     kv_lengths: Optional[jnp.ndarray] = None,
     slopes: Optional[jnp.ndarray] = None,
     q_offset: int | jnp.ndarray = 0,
+    prefix_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Reference attention in pure XLA. q:[B,H,Sq,D] k,v:[B,Hkv,Sk,D].
 
     `q_offset` is the absolute position of q[..., 0, :] (used at decode time
-    when attending into a KV cache). fp32 softmax for numerical stability.
+    when attending into a KV cache). `prefix_lengths` [B] enables prefix-LM
+    masking: positions < prefix_lengths[b] attend bidirectionally, later
+    positions causally (reference: modeling_mpt.py:147-185 prefix_mask).
+    fp32 softmax for numerical stability.
     """
     b, h, sq, d = q.shape
     k = _broadcast_kv(k, h)
@@ -90,6 +94,10 @@ def xla_attention(
     mask = jnp.ones(rel.shape, dtype=bool)
     if causal:
         mask = k_pos <= q_pos
+        if prefix_lengths is not None:
+            # keys inside the prefix are visible to every query
+            in_prefix = k_pos < prefix_lengths[:, None, None]
+            mask = mask | in_prefix
     if slopes is not None:
         bias = slopes[None, :, None, None] * rel[:, None, :, :]
         logits = logits + bias
@@ -321,13 +329,21 @@ def multihead_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    prefix_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Dispatching attention entry point. Pallas on TPU, XLA elsewhere."""
+    """Dispatching attention entry point. Pallas on TPU, XLA elsewhere.
+    prefix-LM masking always takes the XLA path."""
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and (on_tpu or interpret) and q.shape[2] > 1:
+    if (
+        use_pallas and (on_tpu or interpret) and q.shape[2] > 1
+        and prefix_lengths is None
+    ):
         sq, sk = q.shape[2], k.shape[2]
         bq = min(block_q, sq)
         bk = min(block_k, sk)
         if sq % bq == 0 and sk % bk == 0 and q.shape[3] % 128 == 0:
             return _flash_mha(q, k, v, causal, bq, bk, interpret, kv_lengths, slopes)
-    return xla_attention(q, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes)
+    return xla_attention(
+        q, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes,
+        prefix_lengths=prefix_lengths,
+    )

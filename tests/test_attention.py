@@ -76,3 +76,53 @@ def test_xla_attention_decode_offset():
     t = 5
     one = xla_attention(q[:, :, t : t + 1], k, v, causal=True, q_offset=t)
     np.testing.assert_allclose(np.asarray(one[:, :, 0]), np.asarray(full[:, :, t]), rtol=1e-5, atol=1e-5)
+
+
+def test_prefix_lm_masking():
+    """prefix-LM: keys inside the prefix visible to all queries; causal after."""
+    import jax
+    import jax.numpy as jnp
+    from llark_tpu.ops.attention import xla_attention
+
+    B, H, S, D = 1, 1, 6, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (B, H, S, D))
+    k = jax.random.normal(k2, (B, H, S, D))
+    v = jax.random.normal(k3, (B, H, S, D))
+    prefix = jnp.array([3], jnp.int32)
+    out = xla_attention(q, k, v, causal=True, prefix_lengths=prefix)
+
+    # row 1 (inside prefix) must match full-bidirectional attention over the
+    # visible set {0,1,2}: with prefix masking, query 1 sees keys 0..2 even
+    # though key 2 is in its "future"
+    ref_vis = xla_attention(
+        q[:, :, 1:2], k[:, :, :3], v[:, :, :3], causal=False
+    )
+    np.testing.assert_allclose(np.asarray(out[:, :, 1]), np.asarray(ref_vis[:, :, 0]),
+                               rtol=1e-5)
+    # row 4 (after prefix) sees keys 0..4 only — equals causal over first 5
+    ref_causal = xla_attention(q[:, :, 4:5], k[:, :, :5], v[:, :, :5], causal=False)
+    np.testing.assert_allclose(np.asarray(out[:, :, 4]), np.asarray(ref_causal[:, :, 0]),
+                               rtol=1e-5)
+
+
+def test_decoder_prefix_lm_path():
+    import jax
+    import jax.numpy as jnp
+    from llark_tpu.config import ModelConfig
+    from llark_tpu.models.decoder import decoder_forward, init_decoder_params
+
+    # single layer: the final position's visible set (and its keys/values,
+    # which are pre-attention projections) is identical under both masks
+    cfg = ModelConfig.tiny(arch="mpt", use_pallas_attention=False, num_layers=1)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    causal_logits, _ = decoder_forward(cfg, params, input_ids=ids)
+    prefix_logits, _ = decoder_forward(
+        cfg, params, input_ids=ids, prefix_lengths=jnp.array([4, 6], jnp.int32)
+    )
+    # positions before the prefix boundary see future prefix tokens -> differ
+    assert np.abs(np.asarray(causal_logits[:, 0]) - np.asarray(prefix_logits[:, 0])).max() > 1e-4
+    # the final position sees everything either way -> identical
+    np.testing.assert_allclose(np.asarray(causal_logits[:, -1]),
+                               np.asarray(prefix_logits[:, -1]), rtol=1e-5)

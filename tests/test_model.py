@@ -234,3 +234,20 @@ def test_kv_cache_decode_matches_full_forward():
         np.testing.assert_allclose(
             np.asarray(logits_t[:, 0]), np.asarray(full_logits[:, t]), rtol=2e-4, atol=2e-4
         )
+
+
+def test_init_scheme_registry():
+    import jax
+    import numpy as np
+    from llark_tpu.config import ModelConfig
+    from llark_tpu.models.decoder import init_decoder_params
+
+    stds = {}
+    for scheme in ("kaiming", "xavier", "small"):
+        cfg = ModelConfig.tiny(init_scheme=scheme)
+        p = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        stds[scheme] = float(np.asarray(p["layers"]["w_up"]).std())
+    h, i = 64, 128
+    assert abs(stds["kaiming"] - (1 / np.sqrt(h))) < 0.01
+    assert abs(stds["xavier"] - np.sqrt(2 / (h + i))) < 0.01
+    assert abs(stds["small"] - np.sqrt(2 / (5 * h))) < 0.01

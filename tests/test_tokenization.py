@@ -175,3 +175,12 @@ def test_keys_resolve_from_env(monkeypatch):
     monkeypatch.delenv("HUGGING_FACE_HUB_TOKEN", raising=False)
     assert keys.openai_api_key() == "sk-test"
     assert keys.hugging_face_hub_token() == "hf-test"
+
+
+def test_adapt_tokenizer_sentinels():
+    from llark_tpu.tokenization import WordTokenizer, adapt_tokenizer_for_denoising
+
+    tok = adapt_tokenizer_for_denoising(WordTokenizer(64), num_sentinels=10)
+    assert len(tok.sentinel_token_ids) == 10
+    assert tok.convert_tokens_to_ids("<extra_id_0>") == tok.sentinel_token_ids[0]
+    assert len(set(tok.sentinel_token_ids)) == 10
