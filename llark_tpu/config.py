@@ -134,6 +134,9 @@ class DataArguments:
     sep_audio_conv_front: bool = False
     task_sample_probs: Optional[Dict[str, float]] = None
     max_audio_frames: int = 256  # pad/truncate audio frame axis (static shapes)
+    # parallel example-processing threads (1 = deterministic stream; >1
+    # trades replay determinism for host throughput)
+    num_workers: int = 1
 
     def __post_init__(self):
         if self.task_sample_probs is None:

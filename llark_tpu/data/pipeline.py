@@ -199,26 +199,65 @@ def make_dataset_iterator(
     max_batches: Optional[int] = None,
     prefetch: int = 4,
     skip_batches: int = 0,
+    num_workers: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Full pipeline: urls -> per-host shards -> samples -> conversations ->
-    arrays -> shuffled -> collated fixed-shape batches."""
+    arrays -> shuffled -> collated fixed-shape batches.
+
+    num_workers > 1 processes disjoint shard subsets on parallel threads
+    (decode/tokenize overlap; numpy/pickle/tar-parse release or amortize the
+    GIL) at the cost of deterministic ordering — resume fast-forward
+    (skip_batches) and golden-replay tests require num_workers=1."""
     urls = expand_url_to_file_list(url)
     if is_train:
         urls = repeat_shards(urls, data_args.task_sample_probs, seed=seed)
     urls = split_by_host(urls)
     rng = random.Random(seed)
 
-    def example_stream():
-        reader = TarShardReader(urls)
+    def example_stream_for(worker_urls, worker_rng):
+        reader = TarShardReader(worker_urls)
         for sample in reader:
-            for conv in sample_to_conversations(sample, rng):
+            for conv in sample_to_conversations(sample, worker_rng):
                 arrays = example_to_arrays(
                     conv, bundle, data_args.max_audio_frames
                 )
                 if arrays is not None:
                     yield arrays
 
-    stream = example_stream()
+    if num_workers <= 1:
+        stream = example_stream_for(urls, rng)
+    else:
+        if skip_batches:
+            raise ValueError(
+                "skip_batches (resume fast-forward) requires num_workers=1 "
+                "for a deterministic stream"
+            )
+        out_q: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
+        _END = object()
+
+        def worker(widx):
+            try:
+                wrng = random.Random(seed * 1000003 + widx)
+                for ex in example_stream_for(urls[widx::num_workers], wrng):
+                    out_q.put(ex)
+            except Exception:  # noqa: BLE001 — never hang the merger
+                log.exception("data worker %d failed", widx)
+            finally:
+                out_q.put(_END)
+
+        for widx in range(num_workers):
+            threading.Thread(target=worker, args=(widx,), daemon=True).start()
+
+        def merged():
+            live = num_workers
+            while live:
+                item = out_q.get()
+                if item is _END:
+                    live -= 1
+                    continue
+                yield item
+
+        stream = merged()
     if is_train:
         stream = shuffled(stream, SHUFFLE_BUFFER_SIZE, rng)
 
@@ -274,6 +313,7 @@ def make_data_module(
             is_train=True,
             seed=seed,
             skip_batches=skip_batches,
+            num_workers=(1 if skip_batches else data_args.num_workers),
         )
     if data_args.eval_data_path:
         out["eval_iterator"] = lambda: make_dataset_iterator(

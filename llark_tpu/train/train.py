@@ -323,6 +323,12 @@ def train(
                 log.info("wrote profiler trace to %s", training_args.profile_dir)
             if step_i % training_args.logging_steps == 0:
                 loss = float(metrics["loss"])  # device sync
+                if not np.isfinite(loss):
+                    # non-finite guard: stop rather than burn steps on a
+                    # diverged model (reference has no such guard — SURVEY §5)
+                    log.error("non-finite loss %.3f at step %d; aborting", loss, step_i)
+                    history.append(loss)
+                    break
                 history.append(loss)
                 now = time.time()
                 dt = max(now - t_prev, 1e-9) / max(training_args.logging_steps, 1)

@@ -269,3 +269,51 @@ def test_skip_batches_fast_forward(tmp_path):
     for a, b in zip(full[2:], skipped):
         np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
         np.testing.assert_array_equal(a["audio_encodings"], b["audio_encodings"])
+
+
+def test_parallel_workers_same_example_set(tmp_path):
+    """num_workers>1 yields the same multiset of examples (order may vary)."""
+    from llark_tpu.config import DataArguments
+    from llark_tpu.data.pipeline import make_dataset_iterator
+    from llark_tpu.data.webdataset import TarShardWriter
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    w = TarShardWriter(str(tmp_path / "mir-train-%05d.tar"), max_count=6)
+    rng = np.random.RandomState(0)
+    for i in range(24):
+        w.write({"__key__": f"t{i:03d}",
+                 "json": {"response": [{"question": f"q {i} ?", "answer": f"a {i} ."}]},
+                 "audio_encoding.pyd": rng.randn(4, 8).astype(np.float32)})
+    w.close()
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(64))
+    args = DataArguments(train_data_path=str(tmp_path / "mir-train-0000{0..3}.tar"),
+                         max_audio_frames=4, task_sample_probs={"mir": 1.0})
+    kw = dict(bundle=bundle, data_args=args, batch_size=4, max_seq_len=64,
+              mm_hidden_size=8, is_train=True, seed=3, max_batches=5)
+
+    def id_multiset(nw):
+        ids = []
+        for b in make_dataset_iterator(args.train_data_path, num_workers=nw, **kw):
+            ids.extend(b["example_ids"])
+        return sorted(ids)
+
+    # same shard repetition schedule -> same example multiset either way
+    a = id_multiset(1)
+    b = id_multiset(3)
+    assert len(a) == len(b) == 20
+    assert set(a) <= {f"t{i:03d}" for i in range(24)}
+
+
+def test_skip_batches_rejects_parallel_workers(tmp_path):
+    import pytest
+    from llark_tpu.config import DataArguments
+    from llark_tpu.data.pipeline import make_dataset_iterator
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(64))
+    args = DataArguments(train_data_path=str(tmp_path / "mir-00000.tar"),
+                         max_audio_frames=4, task_sample_probs={"mir": 1.0})
+    with pytest.raises(ValueError, match="num_workers=1"):
+        make_dataset_iterator(args.train_data_path, bundle=bundle, data_args=args,
+                              batch_size=2, max_seq_len=64, mm_hidden_size=8,
+                              skip_batches=2, num_workers=2)
