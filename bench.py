@@ -161,10 +161,21 @@ def run_jukebox():
     return best
 
 
+def _retry(fn, attempts=2):
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — tunnel errors are transient
+            sys.stderr.write(f"attempt {i}: {type(e).__name__}: {e}\n")
+            if i == attempts - 1:
+                raise
+    return None
+
+
 def main():
     out = None
     try:
-        clips_per_s = run_jukebox()
+        clips_per_s = _retry(run_jukebox)
         out = {
             "metric": "jukebox_embed_clips_per_sec_per_chip",
             "value": round(clips_per_s, 3),
@@ -176,7 +187,7 @@ def main():
 
     for name in ("7b", "1b"):
         try:
-            cfg_name, tps, ttft, baseline = run(name)
+            cfg_name, tps, ttft, baseline = _retry(lambda: run(name))
             decode = {
                 f"llark_{cfg_name}_decode_tokens_per_sec": round(tps, 2),
                 f"llark_{cfg_name}_decode_vs_a100": round(tps / baseline, 3),
