@@ -75,6 +75,14 @@ def build_jukebox_encoder(ns):
         transfer_dtype=ns.transfer_dtype,
         output_dtype=ns.output_dtype,
     )
+    if ns.data_parallel:
+        import jax
+
+        from llark_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        kw["mesh"] = make_mesh((n, 1, 1))
+        log.info("data-parallel encode over %d devices", n)
     if ns.checkpoint:
         from llark_tpu.encoders.jukebox.import_torch import (
             convert_prior,
@@ -213,6 +221,8 @@ def main(argv=None):
             c.add_argument("--fps", type=float, default=10.0)
             c.add_argument("--transfer-dtype", default="int16")
             c.add_argument("--output-dtype", default="bfloat16")
+            c.add_argument("--data-parallel", action="store_true",
+                           help="shard the clip batch over all local devices")
         c.set_defaults(fn=fn)
     ns = p.parse_args(argv)
     n = ns.fn(ns)

@@ -96,6 +96,7 @@ class JukeboxEncoder:
     pool_frames_per_second: Optional[float] = 10.0
     transfer_dtype: str = "float32"  # audio upload: "float32" | "int16"
     output_dtype: str = "float32"  # activation download: "float32" | "bfloat16"
+    mesh: Optional[Any] = None  # jax Mesh: shard the clip batch over chips
 
     def __post_init__(self):
         frame_len = (
@@ -121,7 +122,25 @@ class JukeboxEncoder:
                 acts = windowed_average(acts, frame_len)
             return acts.astype(out_dt)
 
-        self._encode = jax.jit(_encode)
+        if self.mesh is not None:
+            # data-parallel fleet on one host: replicate weights, shard the
+            # clip batch over every mesh axis (the reference used 128
+            # single-GPU Beam workers for the same fan-out)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(self.mesh, P(self.mesh.axis_names))
+            rep = NamedSharding(self.mesh, P())
+            rep_tree = jax.tree.map(lambda _: rep, self.vq_params)
+            rep_tree_p = jax.tree.map(lambda _: rep, self.prior_params)
+            self.vq_params = jax.device_put(self.vq_params, rep)
+            self.prior_params = jax.device_put(self.prior_params, rep)
+            self._encode = jax.jit(
+                _encode,
+                in_shardings=(rep_tree, rep_tree_p, batch_sh),
+                out_shardings=batch_sh,
+            )
+        else:
+            self._encode = jax.jit(_encode)
         self._frame_len = frame_len
 
     def _prepare_transfer(self, audio: np.ndarray) -> jnp.ndarray:

@@ -61,3 +61,19 @@ def test_sharding_and_skip_existing(tmp_path):
     np.save(os.path.join(out, names[0].replace(".wav", ".npy")), np.zeros(1))
     remaining = list_shard(wavs, 1, 0, True, out)
     assert names[0] not in remaining and len(remaining) == 4
+
+
+def test_jukebox_extract_data_parallel(tmp_path):
+    """--data-parallel shards the batch over the 8-device CPU mesh."""
+    wavs = str(tmp_path / "wavs")
+    out = str(tmp_path / "emb")
+    names = write_wavs(wavs, n=4)
+    rc = main([
+        "jukebox", "--input-dir", wavs, "--output-dir", out,
+        "--batch-size", "8", "--tiny", "--data-parallel",
+        "--transfer-dtype", "float32", "--output-dtype", "float32",
+    ])
+    assert rc == 0
+    for name in names:
+        arr = np.load(os.path.join(out, name.replace(".wav", ".npy")))
+        assert arr.ndim == 2 and arr.shape[0] >= 1

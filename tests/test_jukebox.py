@@ -206,3 +206,25 @@ def test_encode_stream_matches_encode_batch():
         ref_acts, ref_counts = enc.encode_batch(audio)
         np.testing.assert_allclose(acts, ref_acts, rtol=1e-5)
         np.testing.assert_array_equal(counts, ref_counts)
+
+
+def test_mesh_sharded_encode_matches_single_device():
+    """Data-parallel encode over an 8-device mesh == single-device output."""
+    from llark_tpu.encoders.jukebox.config import JukeboxPriorConfig, JukeboxVQVAEConfig
+    from llark_tpu.encoders.jukebox.encode import JukeboxEncoder
+    from llark_tpu.parallel.mesh import make_mesh
+
+    vq, pr = JukeboxVQVAEConfig.tiny(), JukeboxPriorConfig.tiny()
+    single = JukeboxEncoder.random_init(vq_cfg=vq, prior_cfg=pr, seed=0)
+    mesh = make_mesh((2, 2, 2))
+    sharded = JukeboxEncoder(
+        vq_cfg=vq, prior_cfg=pr,
+        vq_params=single.vq_params, prior_params=single.prior_params,
+        mesh=mesh,
+    )
+    audio = (np.random.RandomState(0).randn(8, single.samples_per_ctx) * 0.3
+             ).astype(np.float32)
+    a1, c1 = single.encode_batch(audio)
+    a2, c2 = sharded.encode_batch(audio)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=1e-5)
