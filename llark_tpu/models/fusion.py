@@ -169,3 +169,47 @@ def causal_lm_loss(
     num = jnp.maximum(jnp.sum(valid), 1)
     loss = -jnp.sum(jnp.where(valid, token_ll, 0.0)) / num
     return loss, jnp.sum(valid)
+
+
+def chunked_causal_lm_loss(
+    cfg: ModelConfig,
+    params: Params,
+    hidden: jnp.ndarray,  # [B, S, H] final decoder hidden states
+    labels: jnp.ndarray,  # [B, S]
+    chunk: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """causal_lm_loss without ever materializing the [B, S, V] logits:
+    the LM head + log-softmax run per sequence chunk inside a remat'd
+    lax.scan (logits recomputed in the backward pass). Long-context
+    training (un-pooled 345 Hz audio, S ~ 9k, V 32k) OOMs otherwise —
+    full-sequence fp32 logits alone are S*V*4 ≈ 1.2 GB plus gradients."""
+    b, s, h = hidden.shape
+    if s % chunk:
+        raise ValueError(f"sequence {s} must divide loss chunk {chunk}")
+    n = s // chunk
+    # next-token targets aligned to each position; final position ignored
+    next_labels = jnp.concatenate(
+        [labels[:, 1:], jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
+    )
+    hidden_c = hidden.reshape(b, n, chunk, h).transpose(1, 0, 2, 3)  # [n,B,c,H]
+    labels_c = next_labels.reshape(b, n, chunk).transpose(1, 0, 2)  # [n,B,c]
+
+    def body(carry, xs):
+        ll_sum, n_valid = carry
+        h_c, y_c = xs
+        logits = compute_logits(cfg, params, h_c).astype(jnp.float32)
+        valid = y_c != IGNORE_INDEX
+        safe = jnp.where(valid, y_c, 0)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+        ll_sum = ll_sum + jnp.sum(jnp.where(valid, tok, 0.0))
+        n_valid = n_valid + jnp.sum(valid)
+        return (ll_sum, n_valid), None
+
+    (ll_sum, n_valid), _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False),
+        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (hidden_c, labels_c),
+    )
+    loss = -ll_sum / jnp.maximum(n_valid, 1)
+    return loss, n_valid

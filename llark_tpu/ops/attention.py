@@ -295,13 +295,44 @@ def _flash_mha_fwd(q, k, v, causal, block_q, block_k, interpret, kv_lengths, slo
     return out, (q, k, v, kv_lengths, slopes)
 
 
+def _chunked_attention(
+    q, k, v, *, causal, kv_lengths, slopes, q_chunk: int
+) -> jnp.ndarray:
+    """Attention computed in query chunks under jax.checkpoint: peak memory
+    O(chunk x S) instead of O(S^2) — this is what makes the BACKWARD of the
+    flash path long-context-safe (a dense recompute of [H, S, S] logits at
+    S ~ 9k costs 10 GB)."""
+    b, h, s, d = q.shape
+    n = s // q_chunk
+    qc = q.reshape(b, h, n, q_chunk, d).transpose(2, 0, 1, 3, 4)  # [n,B,H,c,D]
+
+    def body(_, xs):
+        q_blk, idx = xs
+        out = xla_attention(
+            q_blk, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes,
+            q_offset=idx * q_chunk,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), None,
+        (qc, jnp.arange(n, dtype=jnp.int32)),
+    )
+    return outs.transpose(1, 2, 0, 3, 4).reshape(b, h, s, d)
+
+
 def _flash_mha_bwd(causal, block_q, block_k, interpret, res, g):
     q, k, v, kv_lengths, slopes = res
+    s = q.shape[2]
+    q_chunk = block_q if s % block_q == 0 else s
 
-    # Recompute-based backward through the XLA reference path. Correct and
-    # remat-friendly; to be replaced by a Pallas dq/dk/dv kernel.
+    # Recompute-based backward, query-chunked so no [H, S, S] tensor ever
+    # materializes; to be replaced by a Pallas dq/dk/dv kernel.
     def f(q_, k_, v_):
-        return xla_attention(q_, k_, v_, causal=causal, kv_lengths=kv_lengths, slopes=slopes)
+        return _chunked_attention(
+            q_, k_, v_, causal=causal, kv_lengths=kv_lengths, slopes=slopes,
+            q_chunk=q_chunk,
+        )
 
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(g)

@@ -146,6 +146,7 @@ def make_train_step(
     trainable_token_start: Optional[int] = None,
     dropout_seed: Optional[int] = None,  # enables LoRA dropout when set
     partition: Optional["ParamPartition"] = None,  # grad over trainable only
+    loss_chunk: Optional[int] = None,  # chunked CE (long-context memory)
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the (jittable) train step.
 
@@ -159,7 +160,7 @@ def make_train_step(
     """
 
     def loss_fn(params, micro, rng):
-        logits, _ = llark_forward(
+        out, _ = llark_forward(
             cfg,
             params,
             micro["input_ids"],
@@ -169,8 +170,16 @@ def make_train_step(
             seq_lengths=micro.get("seq_lengths"),
             trainable_token_start=trainable_token_start,
             dropout_rng=rng,
+            return_hidden=loss_chunk is not None,
         )
-        loss, n_tok = causal_lm_loss(logits, micro["labels"])
+        if loss_chunk is not None:
+            from llark_tpu.models.fusion import chunked_causal_lm_loss
+
+            loss, n_tok = chunked_causal_lm_loss(
+                cfg, params, out, micro["labels"], loss_chunk
+            )
+        else:
+            loss, n_tok = causal_lm_loss(out, micro["labels"])
         return loss, n_tok
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

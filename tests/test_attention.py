@@ -126,3 +126,33 @@ def test_decoder_prefix_lm_path():
     # the final position sees everything either way -> identical
     np.testing.assert_allclose(np.asarray(causal_logits[:, -1]),
                                np.asarray(prefix_logits[:, -1]), rtol=1e-5)
+
+
+def test_flash_backward_chunked_matches_dense():
+    """The query-chunked flash backward == dense-attention gradients."""
+    import jax
+    import jax.numpy as jnp
+    from llark_tpu.ops.attention import alibi_slopes, multihead_attention, xla_attention
+
+    B, H, S, D = 2, 2, 512, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, S, D), jnp.float32)
+    kv_len = jnp.array([512, 300], jnp.int32)
+    slopes = alibi_slopes(H)
+
+    def loss_flash(q, k, v):
+        out = multihead_attention(q, k, v, causal=True, kv_lengths=kv_len,
+                                  slopes=slopes, use_pallas=True, interpret=True,
+                                  block_q=256, block_k=256)
+        return jnp.sum(out * out)
+
+    def loss_dense(q, k, v):
+        out = xla_attention(q, k, v, causal=True, kv_lengths=kv_len, slopes=slopes)
+        return jnp.sum(out * out)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)

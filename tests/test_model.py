@@ -251,3 +251,42 @@ def test_init_scheme_registry():
     assert abs(stds["kaiming"] - (1 / np.sqrt(h))) < 0.01
     assert abs(stds["xavier"] - np.sqrt(2 / (h + i))) < 0.01
     assert abs(stds["small"] - np.sqrt(2 / (5 * h))) < 0.01
+
+
+def test_chunked_loss_matches_full():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from llark_tpu.config import ModelConfig
+    from llark_tpu.models.decoder import compute_logits
+    from llark_tpu.models.fusion import (
+        causal_lm_loss,
+        chunked_causal_lm_loss,
+        init_llark_params,
+    )
+    from llark_tpu.special_tokens import IGNORE_INDEX
+
+    cfg = ModelConfig.tiny(dtype="float32", use_pallas_attention=False)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    b, s = 2, 32
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (b, s, cfg.hidden_size))
+    labels = np.array(jax.random.randint(jax.random.PRNGKey(2), (b, s), 0, 50))
+    labels[:, :6] = IGNORE_INDEX
+    labels = jnp.asarray(labels)
+
+    full_loss, full_n = causal_lm_loss(compute_logits(cfg, params, hidden), labels)
+    for chunk in (8, 16, 32):
+        c_loss, c_n = chunked_causal_lm_loss(cfg, params, hidden, labels, chunk)
+        assert int(c_n) == int(full_n)
+        np.testing.assert_allclose(float(c_loss), float(full_loss), rtol=1e-5)
+
+    # gradients agree too (the remat'd scan path)
+    def f_full(p):
+        return causal_lm_loss(compute_logits(cfg, p, hidden), labels)[0]
+
+    def f_chunk(p):
+        return chunked_causal_lm_loss(cfg, p, hidden, labels, 8)[0]
+
+    g1 = jax.grad(f_full)(params)["lm_head"]
+    g2 = jax.grad(f_chunk)(params)["lm_head"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
