@@ -180,6 +180,10 @@ class TrainingArguments:
     # TPU-native additions
     mesh_shape: Tuple[int, int, int] = (1, 1, 1)  # (data, fsdp, tensor)
     resume: bool = True
+    # chunked cross-entropy for long sequences (0 = disabled); must divide
+    # model_max_length. Enables un-pooled-audio training (see fusion.py
+    # chunked_causal_lm_loss)
+    loss_chunk: int = 0
     # profiling (SURVEY.md §5: reference has only wandb step logging;
     # here: jax.profiler device trace over a step window)
     profile_dir: Optional[str] = None  # write a trace here when set

@@ -250,6 +250,7 @@ def train(
         trainable_token_start=trainable_start,
         dropout_seed=training_args.seed if training_args.lora_enable else None,
         partition=param_partition,
+        loss_chunk=training_args.loss_chunk or None,
     )
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 

