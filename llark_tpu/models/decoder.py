@@ -174,7 +174,11 @@ def init_kv_cache(
 
 
 def _dense(x, w, b, dtype):
-    if isinstance(w, dict):  # int8 weight-only (llark_tpu/models/quant.py)
+    if isinstance(w, dict):  # int8/int4 weight-only (llark_tpu/models/quant.py)
+        if "q4" in w:
+            from llark_tpu.models.quant import quantized_dense_int4
+
+            return quantized_dense_int4(x, w, b, dtype)
         from llark_tpu.models.quant import quantized_dense
 
         return quantized_dense(x, w, b, dtype)
@@ -409,7 +413,15 @@ def compute_logits(cfg: ModelConfig, params: Params, hidden: jnp.ndarray) -> jnp
         w = params["embed"].astype(dtype)  # [V, H]
         return jnp.einsum("bsh,vh->bsv", hidden, w, preferred_element_type=jnp.float32)
     w = params["lm_head"]  # [H, V]
-    if isinstance(w, dict):  # int8 weight-only
+    if isinstance(w, dict):
+        if "q4" in w:  # int4 weight-only
+            from llark_tpu.models.quant import dequantize_weight_int4
+
+            w4 = dequantize_weight_int4(w, dtype)
+            return jnp.einsum(
+                "bsh,hv->bsv", hidden, w4, preferred_element_type=jnp.float32
+            )
+        # int8 weight-only
         logits = jnp.einsum(
             "bsh,hv->bsv", hidden, w["q"].astype(dtype),
             preferred_element_type=jnp.float32,

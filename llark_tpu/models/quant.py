@@ -65,6 +65,94 @@ def quantize_params_int8(cfg: ModelConfig, params: Params) -> Params:
     return out
 
 
+# ---------------------------------------------------------------------------
+# int4 (group-wise, packed two nibbles per int8)
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = 128) -> Dict[str, jnp.ndarray]:
+    """[..., in, out] -> {'q4': int8 [..., in/2, out] (two nibbles),
+    'scale': f32 [..., in/group, out]} — symmetric group-wise int4
+    (parity: the reference's bnb 4-bit, m2t/arguments.py:112-133).
+    Group scales run along the contraction dim, so dequant happens inside
+    a group-blocked matmul (quantized_dense_int4)."""
+    *lead, fan_in, fan_out = w.shape
+    if fan_in % group or fan_in % 2:
+        raise ValueError(f"fan_in {fan_in} must divide group {group} and 2")
+    wf = w.astype(jnp.float32).reshape(*lead, fan_in // group, group, fan_out)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., G, 1, out]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(*lead, fan_in, fan_out)
+    # halves-packing: rows [0, in/2) -> low nibble, rows [in/2, in) -> high
+    # nibble, so unpacking is a plain concatenate (no stride-2 interleave
+    # that would force a materialized shuffle before the matmul)
+    half = fan_in // 2
+    lo = q[..., :half, :] & 0x0F
+    hi = jnp.left_shift(q[..., half:, :] & 0x0F, 4)
+    packed = (lo | hi).astype(jnp.int8)
+    return {"q4": packed, "scale": scale[..., 0, :]}  # scale [..., G, out]
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """int8 [..., in/2, out] -> int8 [..., in, out], sign-extended nibbles
+    (halves layout: low nibbles are the first in/2 rows)."""
+    lo = packed & 0x0F
+    hi = jnp.right_shift(packed, 4) & 0x0F
+    lo = jnp.where(lo > 7, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def dequantize_weight_int4(wq: Dict[str, jnp.ndarray], dtype=jnp.float32) -> jnp.ndarray:
+    q = _unpack_int4(wq["q4"]).astype(dtype)  # compute dtype, not f32
+    *lead, fan_in, out = q.shape
+    g = wq["scale"].shape[-2]
+    qg = q.reshape(*lead, g, fan_in // g, out)
+    scaled = qg * wq["scale"][..., :, None, :].astype(dtype)
+    return scaled.reshape(*lead, fan_in, out)
+
+
+def is_quantized_int4(w) -> bool:
+    return isinstance(w, dict) and "q4" in w and "scale" in w
+
+
+def quantized_dense_int4(x: jnp.ndarray, wq: Dict[str, jnp.ndarray], b, dtype):
+    """y = x @ dequant(q4) [+ b].
+
+    STATUS: numerically correct (tested), but XLA does NOT fuse the
+    nibble-unpack chain into the dot's operand read on TPU — it
+    materializes the dequantized weights per call, so int4 currently
+    LOSES to int8 for single-stream decode. Production int4 serving needs
+    a Pallas kernel that unpacks tiles in VMEM (planned); int8
+    (quantized_dense) is the recommended serving format."""
+    w = dequantize_weight_int4(wq, dtype)  # traced; fused into the dot
+    y = jnp.einsum("bsh,hd->bsd", x, w, preferred_element_type=jnp.float32)
+    y = y.astype(dtype)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def quantize_params_int4_incremental(
+    cfg: ModelConfig, params: Params, group: int = 128
+) -> Params:
+    """int4 counterpart of quantize_params_int8_incremental (takes
+    ownership of `params`)."""
+    qfn = jax.jit(lambda w: quantize_weight_int4(w, group), donate_argnums=(0,))
+    layers = params["layers"]
+    for name in QUANT_TARGETS:
+        if name in layers and "_lora_" not in name:
+            w = layers.pop(name)
+            layers[name] = qfn(w)
+            del w
+    if "lm_head" in params:
+        w = params.pop("lm_head")
+        params["lm_head"] = qfn(w)
+        del w
+    return params
+
+
 def quantize_params_int8_incremental(cfg: ModelConfig, params: Params) -> Params:
     """Like quantize_params_int8, but one jitted program per weight and the
     bf16 source reference dropped as each leaf converts — peak device memory

@@ -64,3 +64,73 @@ def test_quantized_generation_runs():
     out = gen.generate(ids, np.array([4], np.int32),
                        np.zeros((1, 2, 8), np.float32), np.array([2], np.int32))
     assert len(out[0]) <= 4
+
+
+def test_int4_roundtrip_error_bound():
+    from llark_tpu.models.quant import dequantize_weight_int4, quantize_weight_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 32)) * 0.1
+    wq = quantize_weight_int4(w, group=64)
+    assert wq["q4"].shape == (2, 128, 32) and wq["q4"].dtype == jnp.int8
+    assert wq["scale"].shape == (2, 4, 32)
+    back = dequantize_weight_int4(wq)
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    # per-group scale/2 bound
+    scale = np.repeat(np.asarray(wq["scale"]), 64, axis=1)
+    assert (err <= scale / 2 + 1e-6).all()
+
+
+def test_int4_forward_close_to_fp32():
+    from llark_tpu.models.quant import quantize_params_int4_incremental
+
+    cfg = ModelConfig.tiny(dtype="float32", use_pallas_attention=False)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    import copy
+
+    ref_params = jax.tree.map(lambda x: x, params)
+    qparams = quantize_params_int4_incremental(
+        cfg, jax.tree.map(lambda x: x, params), group=32
+    )
+    assert "q4" in qparams["layers"]["wq"]
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    ref, _ = llark_forward(cfg, ref_params, ids, audio_patch_id=3)
+    got, _ = llark_forward(cfg, qparams, ids, audio_patch_id=3)
+    ref, got = np.asarray(ref), np.asarray(got)
+    # tiny 2-layer/64-hidden random model = worst case for int4 noise;
+    # trained 4096-wide models average the error away (cf. bnb 4-bit)
+    cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.9, cos
+
+    # the quantized COMPUTE path must exactly equal explicit dequantization
+    from llark_tpu.models.quant import dequantize_weight_int4
+
+    deq = jax.tree.map(lambda x: x, qparams)
+    deq["layers"] = {
+        k: (dequantize_weight_int4(v) if isinstance(v, dict) and "q4" in v else v)
+        for k, v in qparams["layers"].items()
+    }
+    deq["lm_head"] = dequantize_weight_int4(qparams["lm_head"])
+    exact, _ = llark_forward(cfg, deq, ids, audio_patch_id=3)
+    np.testing.assert_allclose(got, np.asarray(exact), rtol=1e-5, atol=1e-5)
+
+
+def test_int4_generation_runs():
+    from llark_tpu.generate import GenerationConfig, Generator
+    from llark_tpu.models.quant import quantize_params_int4_incremental
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(64))
+    cfg = ModelConfig.tiny(dtype="float32", use_pallas_attention=False,
+                           mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params_int4_incremental(cfg, params, group=32)
+    gen = Generator(cfg, qparams, bundle.audio_patch_id,
+                    GenerationConfig(max_new_tokens=4, temperature=0.0),
+                    max_cache_len=64)
+    ids = np.full((1, 16), bundle.pad_token_id, np.int32)
+    ids[0, :4] = [bundle.tokenizer.bos_token_id, 5, 6, 7]
+    out = gen.generate(ids, np.array([4], np.int32),
+                       np.zeros((1, 2, 8), np.float32), np.array([2], np.int32))
+    assert len(out[0]) <= 4
