@@ -84,24 +84,25 @@ def quantize_weight_int4(w: jnp.ndarray, group: int = 128) -> Dict[str, jnp.ndar
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
     q = q.reshape(*lead, fan_in, fan_out)
-    # halves-packing: rows [0, in/2) -> low nibble, rows [in/2, in) -> high
-    # nibble, so unpacking is a plain concatenate (no stride-2 interleave
-    # that would force a materialized shuffle before the matmul)
-    half = fan_in // 2
-    lo = q[..., :half, :] & 0x0F
-    hi = jnp.left_shift(q[..., half:, :] & 0x0F, 4)
+    # pair-packing: packed row r = original rows (2r, 2r+1) in (lo, hi)
+    # nibbles — the layout the Pallas kernel expects (the activation splits
+    # into even/odd columns outside, so the kernel needs no interleave)
+    lo = q[..., 0::2, :] & 0x0F
+    hi = jnp.left_shift(q[..., 1::2, :] & 0x0F, 4)
     packed = (lo | hi).astype(jnp.int8)
     return {"q4": packed, "scale": scale[..., 0, :]}  # scale [..., G, out]
 
 
 def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """int8 [..., in/2, out] -> int8 [..., in, out], sign-extended nibbles
-    (halves layout: low nibbles are the first in/2 rows)."""
+    (pair layout: packed row r -> original rows 2r, 2r+1)."""
     lo = packed & 0x0F
     hi = jnp.right_shift(packed, 4) & 0x0F
     lo = jnp.where(lo > 7, lo - 16, lo).astype(jnp.int8)
     hi = jnp.where(hi > 7, hi - 16, hi).astype(jnp.int8)
-    return jnp.concatenate([lo, hi], axis=-2)
+    *lead, half, out = packed.shape
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., half, 2, out]
+    return stacked.reshape(*lead, half * 2, out)
 
 
 def dequantize_weight_int4(wq: Dict[str, jnp.ndarray], dtype=jnp.float32) -> jnp.ndarray:
@@ -120,15 +121,34 @@ def is_quantized_int4(w) -> bool:
 def quantized_dense_int4(x: jnp.ndarray, wq: Dict[str, jnp.ndarray], b, dtype):
     """y = x @ dequant(q4) [+ b].
 
-    STATUS: numerically correct (tested), but XLA does NOT fuse the
-    nibble-unpack chain into the dot's operand read on TPU — it
-    materializes the dequantized weights per call, so int4 currently
-    LOSES to int8 for single-stream decode. Production int4 serving needs
-    a Pallas kernel that unpacks tiles in VMEM (planned); int8
-    (quantized_dense) is the recommended serving format."""
-    w = dequantize_weight_int4(wq, dtype)  # traced; fused into the dot
-    y = jnp.einsum("bsh,hd->bsd", x, w, preferred_element_type=jnp.float32)
-    y = y.astype(dtype)
+    STATUS (experimental): int4 storage/quantize/dequantize are correct and
+    tested, but NEITHER execution path is fast on TPU yet — XLA
+    materializes dequantized weights (fallback), and the Pallas kernel
+    (llark_tpu/ops/int4_matmul, enabled via LLARK_TPU_INT4_KERNEL=1) is
+    VPU-bound on the nibble unpack. int8 (quantized_dense) is the
+    recommended serving format; a Mosaic-level unpack kernel is future
+    work."""
+    import os
+
+    q4, scale = wq["q4"], wq["scale"]
+    fan_in = q4.shape[-2] * 2
+    group = fan_in // scale.shape[-2]
+    use_kernel = (
+        os.environ.get("LLARK_TPU_INT4_KERNEL")
+        and jax.default_backend() == "tpu"
+    )
+    if use_kernel and q4.ndim == 2 and group >= 128 and fan_in % 256 == 0:
+        from llark_tpu.ops.int4_matmul import int4_matmul
+
+        lead = x.shape[:-1]
+        xm = x.reshape(-1, fan_in)
+        y = int4_matmul(xm, q4, scale.astype(jnp.float32), group=group)
+        y = y.reshape(*lead, -1).astype(dtype)
+    else:
+        w = dequantize_weight_int4(wq, dtype)
+        y = jnp.einsum(
+            "bsh,hd->bsd", x, w, preferred_element_type=jnp.float32
+        ).astype(dtype)
     if b is not None:
         y = y + b.astype(dtype)
     return y

@@ -134,3 +134,19 @@ def test_int4_generation_runs():
     out = gen.generate(ids, np.array([4], np.int32),
                        np.zeros((1, 2, 8), np.float32), np.array([2], np.int32))
     assert len(out[0]) <= 4
+
+
+def test_int4_pallas_kernel_interpret():
+    """The Pallas int4 matmul (interpret mode) == explicit dequant matmul."""
+    from llark_tpu.models.quant import dequantize_weight_int4, quantize_weight_int4
+    from llark_tpu.ops.int4_matmul import int4_matmul
+
+    for m, h, d, g in ((8, 256, 1024, 128), (1, 512, 1536, 128), (8, 512, 1024, 256)):
+        w = jax.random.normal(jax.random.PRNGKey(0), (h, d)) * 0.1
+        wq = quantize_weight_int4(w, group=g)
+        x = jax.random.normal(jax.random.PRNGKey(1), (m, h))
+        ref = x @ dequantize_weight_int4(wq)
+        got = int4_matmul(x, wq["q4"], wq["scale"].astype(jnp.float32),
+                          group=g, interpret=True)
+        rel = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 5e-3, (m, h, d, g, rel)
