@@ -27,10 +27,17 @@
 
 namespace {
 
+// One arena per shard: the whole .tar lives in a single shared buffer and
+// fields point into it. This avoids thousands of multi-MB malloc/munmap
+// cycles per second from the reader threads (mmap-threshold allocations
+// trigger TLB-shootdown IPIs that stall every thread in the process).
+using Arena = std::shared_ptr<std::vector<uint8_t>>;
+
 struct Field {
   std::string name;  // field name after the key prefix, e.g. "json"
-  std::unique_ptr<uint8_t[]> data;  // payload bytes (no zero-init pass)
+  const uint8_t* ptr = nullptr;  // into the shard arena
   long size = 0;
+  Arena arena;  // keeps the shard buffer alive
 };
 
 struct Sample {
@@ -66,11 +73,25 @@ void split_key_field(const std::string& name, std::string* key, std::string* fie
 bool parse_shard(const std::string& path, std::deque<Sample>* out) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) return false;
-  std::vector<uint8_t> header(512);
+  if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return false; }
+  long fsize = std::ftell(f);
+  std::rewind(f);
+  Arena arena = std::make_shared<std::vector<uint8_t>>();
+  arena->resize(fsize > 0 ? fsize : 0);
+  if (fsize > 0 &&
+      std::fread(arena->data(), 1, fsize, f) != static_cast<size_t>(fsize)) {
+    std::fclose(f);
+    return false;
+  }
+  std::fclose(f);
+
+  const uint8_t* base = arena->data();
+  long pos = 0;
+  const uint8_t* header;
   Sample current;
   bool have_current = false;
   std::string longname;  // GNU 'L' long-name payload for the next entry
-  while (std::fread(header.data(), 1, 512, f) == 512) {
+  while (pos + 512 <= fsize && (header = base + pos, pos += 512, true)) {
     // two zero blocks = end of archive; a single zero header also stops us
     bool all_zero = true;
     for (int i = 0; i < 512; ++i)
@@ -80,50 +101,48 @@ bool parse_shard(const std::string& path, std::deque<Sample>* out) {
     // validate the header checksum (offset 148, 8 bytes, octal of the sum
     // with the checksum field itself counted as spaces) — rejects
     // non-tar/corrupt input instead of yielding garbage samples
-    long stored = parse_octal(reinterpret_cast<const char*>(header.data()) + 148, 8);
+    long stored = parse_octal(reinterpret_cast<const char*>(header) + 148, 8);
     long computed = 0;
     for (int i = 0; i < 512; ++i)
       computed += (i >= 148 && i < 156) ? ' ' : header[i];
     if (stored != computed) {
-      std::fclose(f);
       if (have_current) out->push_back(std::move(current));
       return false;
     }
 
     char namebuf[257] = {0};
     // ustar prefix field (offset 345, len 155) + name (offset 0, len 100)
-    if (std::memcmp(header.data() + 257, "ustar", 5) == 0 && header[345]) {
+    if (std::memcmp(header + 257, "ustar", 5) == 0 && header[345]) {
       size_t p = 0;
       for (; p < 155 && header[345 + p]; ++p) namebuf[p] = header[345 + p];
       namebuf[p] = '/';
-      std::memcpy(namebuf + p + 1, header.data(), 100);
+      std::memcpy(namebuf + p + 1, header, 100);
     } else {
-      std::memcpy(namebuf, header.data(), 100);
+      std::memcpy(namebuf, header, 100);
     }
     std::string name(namebuf);
     if (!longname.empty()) {
       name = longname;
       longname.clear();
     }
-    long size = parse_octal(reinterpret_cast<const char*>(header.data()) + 124, 12);
+    long size = parse_octal(reinterpret_cast<const char*>(header) + 124, 12);
     char typeflag = header[156];
     long padded = (size + 511) & ~511L;
+    if (pos + size > fsize) break;  // truncated archive
 
     if (typeflag == 'L') {  // GNU long name: payload is the real name
-      std::vector<char> buf(padded);
-      if (std::fread(buf.data(), 1, padded, f) != static_cast<size_t>(padded)) break;
-      longname.assign(buf.data(), strnlen(buf.data(), size));
+      longname.assign(reinterpret_cast<const char*>(base + pos),
+                      strnlen(reinterpret_cast<const char*>(base + pos), size));
+      pos += padded;
       continue;
     }
     if (typeflag != '0' && typeflag != '\0') {  // skip non-regular files
-      if (std::fseek(f, padded, SEEK_CUR) != 0) break;
+      pos += padded;
       continue;
     }
 
-    std::unique_ptr<uint8_t[]> data(size > 0 ? new uint8_t[size] : nullptr);
-    if (size > 0 && std::fread(data.get(), 1, size, f) != static_cast<size_t>(size)) break;
-    long pad = padded - size;
-    if (pad > 0 && std::fseek(f, pad, SEEK_CUR) != 0) break;
+    const uint8_t* payload = base + pos;
+    pos += padded;
 
     std::string key, field;
     split_key_field(name, &key, &field);
@@ -133,10 +152,9 @@ bool parse_shard(const std::string& path, std::deque<Sample>* out) {
     }
     have_current = true;
     current.key = key;
-    current.fields.push_back(Field{std::move(field), std::move(data), size});
+    current.fields.push_back(Field{std::move(field), payload, size, arena});
   }
   if (have_current) out->push_back(std::move(current));
-  std::fclose(f);
   return true;
 }
 
@@ -257,7 +275,7 @@ long ljt_sample_field_size(void* s, long i) {
 }
 
 const uint8_t* ljt_sample_field_data(void* s, long i) {
-  return static_cast<Sample*>(s)->fields[i].data.get();
+  return static_cast<Sample*>(s)->fields[i].ptr;
 }
 
 void ljt_sample_free(void* s) {
