@@ -30,8 +30,8 @@ import numpy as np
 
 from llark_tpu.config import DataArguments
 from llark_tpu.conversation import concat_audio_token_and_prompt
+from llark_tpu.data.records import make_shard_reader
 from llark_tpu.data.shards import expand_url_to_file_list, repeat_shards, split_by_host
-from llark_tpu.data.webdataset import TarShardReader
 from llark_tpu.special_tokens import IGNORE_INDEX
 from llark_tpu.tokenization import (
     TokenizerBundle,
@@ -215,7 +215,7 @@ def make_dataset_iterator(
     rng = random.Random(seed)
 
     def example_stream_for(worker_urls, worker_rng):
-        reader = TarShardReader(worker_urls)
+        reader = make_shard_reader(worker_urls)
         for sample in reader:
             for conv in sample_to_conversations(sample, worker_rng):
                 arrays = example_to_arrays(

@@ -317,3 +317,89 @@ def test_skip_batches_rejects_parallel_workers(tmp_path):
         make_dataset_iterator(args.train_data_path, bundle=bundle, data_args=args,
                               batch_size=2, max_seq_len=64, mm_hidden_size=8,
                               skip_batches=2, num_workers=2)
+
+
+def _record(i, n_qa=2, t=5, mm=8):
+    rng = np.random.RandomState(i)
+    enc = rng.randn(t, mm).astype(np.float32)
+    return {
+        "__key__": f"rec-{i:03d}",
+        "json": {
+            "response": [
+                {"question": f"what is q{j} ?", "answer": f"answer {j} ."}
+                for j in range(n_qa)
+            ]
+        },
+        "audio_encoding": enc.ravel().tolist(),
+        "audio_encoding_shape": [t, mm],
+    }
+
+
+def test_jsonl_record_reader(tmp_path):
+    from llark_tpu.data.records import RecordShardReader, make_shard_reader
+
+    path = tmp_path / "mir-records-00000.jsonl"
+    with open(path, "w") as f:
+        for i in range(3):
+            f.write(json.dumps(_record(i)) + "\n")
+        f.write("this is not json\n")  # skip-and-warn
+    samples = list(RecordShardReader([str(path)]))
+    assert [s["__key__"] for s in samples] == ["rec-000", "rec-001", "rec-002"]
+    enc = samples[0]["audio_encoding.pyd"]
+    assert enc.shape == (5, 8) and enc.dtype == np.float32
+    # extension dispatch
+    assert isinstance(make_shard_reader([str(path)]), RecordShardReader)
+    assert isinstance(make_shard_reader(["x.tar"]), TarShardReader)
+
+
+def test_msgpack_record_reader(tmp_path):
+    msgpack = pytest.importorskip("msgpack")
+    from llark_tpu.data.records import RecordShardReader
+
+    path = tmp_path / "mir-records-00000.msgpack"
+    with open(path, "wb") as f:
+        f.write(msgpack.packb([_record(i) for i in range(4)]))
+    # plus a nonexistent shard and a corrupt shard: both skipped
+    bad = tmp_path / "mir-records-00001.msgpack"
+    bad.write_bytes(b"\xc1\xc1garbage")
+    reader = RecordShardReader(
+        [str(path), str(tmp_path / "missing.msgpack"), str(bad)]
+    )
+    samples = list(reader)
+    assert len(samples) == 4
+    assert samples[2]["json"]["response"][0]["question"].startswith("what")
+
+
+def test_jsonl_end_to_end_pipeline(tmp_path):
+    """The full training pipeline runs off .jsonl record shards (reference
+    read_hf_dataset path, m2t/data_modules.py:629-668)."""
+    mm = 8
+    path = tmp_path / "mir-records-00000.jsonl"
+    with open(path, "w") as f:
+        for i in range(6):
+            f.write(json.dumps(_record(i, n_qa=2, t=5, mm=mm)) + "\n")
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    args = DataArguments(
+        train_data_path=str(path),
+        max_audio_frames=6,
+        task_sample_probs={"mir": 1.0},
+    )
+    it = make_dataset_iterator(
+        args.train_data_path,
+        bundle,
+        args,
+        batch_size=4,
+        max_seq_len=96,
+        mm_hidden_size=mm,
+        is_train=True,
+        seed=0,
+        max_batches=2,
+    )
+    batches = list(it)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["input_ids"].shape == (4, 96)
+    assert b["audio_encodings"].shape == (4, 6, mm)
+    for i in range(4):
+        n_patch = int((b["input_ids"][i] == bundle.audio_patch_id).sum())
+        assert n_patch == b["audio_frame_counts"][i]

@@ -219,3 +219,103 @@ def test_train_imports_hf_backbone(tmp_path, tiny_llama):
     np.testing.assert_array_equal(np.asarray(final["layers"]["wq"]), expect)
     # vocab was rounded up to a 128 multiple >= tokenizer size with mean init
     assert final["embed"].shape[0] >= 128
+
+
+def _fake_sd(rng, vocab=16, hidden=8, extra_rows=0):
+    sd = {
+        "model.layers.0.self_attn.q_proj.weight": rng.randn(hidden, hidden).astype(np.float32),
+        "model.norm.weight": rng.randn(hidden).astype(np.float32),
+        "model.embed_tokens.weight": rng.randn(vocab + extra_rows, hidden).astype(np.float32),
+        "lm_head.weight": rng.randn(vocab + extra_rows, hidden).astype(np.float32),
+    }
+    if extra_rows:
+        sd["model.mm_projector.weight"] = rng.randn(hidden, 12).astype(np.float32)
+        sd["model.mm_projector.bias"] = rng.randn(hidden).astype(np.float32)
+    return sd
+
+
+def test_delta_roundtrip_state():
+    """make_delta then apply_delta reconstructs the target exactly, including
+    resized-vocab rows and projector keys absent from the base (reference
+    apply_delta.py:29-43 shape rules)."""
+    from llark_tpu.interop.delta import apply_delta_state, make_delta_state
+
+    rng = np.random.RandomState(0)
+    base = _fake_sd(rng, extra_rows=0)
+    target = _fake_sd(np.random.RandomState(1), extra_rows=4)
+    delta = make_delta_state(base, target)
+    # new vocab rows and projector are absolute in the delta
+    np.testing.assert_array_equal(
+        delta["model.embed_tokens.weight"][16:], target["model.embed_tokens.weight"][16:]
+    )
+    np.testing.assert_array_equal(
+        delta["model.mm_projector.weight"], target["model.mm_projector.weight"]
+    )
+    recon = apply_delta_state(base, delta)
+    for k in target:
+        np.testing.assert_allclose(recon[k], target[k], rtol=0, atol=1e-5)
+
+
+def test_delta_rejects_unknown_keys():
+    from llark_tpu.interop.delta import make_delta_state
+
+    base = {"a": np.zeros((2, 2), np.float32)}
+    target = {"a": np.ones((2, 2), np.float32), "mystery": np.ones((1,), np.float32)}
+    with pytest.raises(KeyError):
+        make_delta_state(base, target)
+
+
+def test_delta_cli_roundtrip(tmp_path):
+    """End-to-end through the CLI and HF single-file checkpoints."""
+    from llark_tpu.interop.delta import main as delta_main
+
+    rng = np.random.RandomState(2)
+    base_dir, target_dir = tmp_path / "base", tmp_path / "target"
+    for d, sd in ((base_dir, _fake_sd(rng)), (target_dir, _fake_sd(np.random.RandomState(3), extra_rows=2))):
+        d.mkdir()
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, d / "pytorch_model.bin")
+    (target_dir / "config.json").write_text('{"model_type": "llama"}')
+
+    delta_dir, recon_dir = tmp_path / "delta", tmp_path / "recon"
+    delta_main(["make", "--base-model-path", str(base_dir),
+                "--target-model-path", str(target_dir), "--delta-path", str(delta_dir)])
+    assert (delta_dir / "config.json").exists()  # sidecars carried over
+    delta_main(["apply", "--base-model-path", str(base_dir),
+                "--target-model-path", str(recon_dir), "--delta-path", str(delta_dir)])
+    want = load_hf_state_dict(str(target_dir))
+    got = load_hf_state_dict(str(recon_dir))
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5)
+
+
+def test_consolidate_sharded_checkpoint(tmp_path):
+    """A sharded checkpoint directory becomes one single-file checkpoint
+    with identical tensors (reference consolidate.py)."""
+    import json as _json
+
+    from llark_tpu.interop.delta import main as delta_main
+
+    src = tmp_path / "sharded"
+    src.mkdir()
+    rng = np.random.RandomState(4)
+    sd = _fake_sd(rng)
+    keys = sorted(sd)
+    half = len(keys) // 2
+    shards = {
+        "pytorch_model-00001-of-00002.bin": {k: sd[k] for k in keys[:half]},
+        "pytorch_model-00002-of-00002.bin": {k: sd[k] for k in keys[half:]},
+    }
+    weight_map = {k: fname for fname, part in shards.items() for k in part}
+    for fname, part in shards.items():
+        torch.save({k: torch.from_numpy(v) for k, v in part.items()}, src / fname)
+    (src / "pytorch_model.bin.index.json").write_text(
+        _json.dumps({"weight_map": weight_map})
+    )
+    dst = tmp_path / "single"
+    delta_main(["consolidate", "--src", str(src), "--dst", str(dst)])
+    assert (dst / "pytorch_model.bin").exists()
+    assert not (dst / "pytorch_model.bin.index.json").exists()
+    got = load_hf_state_dict(str(dst))
+    for k in sd:
+        np.testing.assert_array_equal(got[k], sd[k])
