@@ -62,7 +62,10 @@ def run(cfg_name: str):
         make_prefill_fn,
     )
     from llark_tpu.models.fusion import init_llark_params
-    from llark_tpu.models.quant import quantize_params_int8_incremental
+    from llark_tpu.models.quant import (
+        quantize_params_int4_incremental,
+        quantize_params_int8_incremental,
+    )
 
     cfg, baseline = build(cfg_name)
     MAX_LEN = 1024
@@ -73,8 +76,15 @@ def run(cfg_name: str):
     params = jax.jit(
         lambda k: init_llark_params(cfg, k), donate_argnums=()
     )(jax.random.PRNGKey(0))
-    # int8 weight-only serving: halves HBM bytes/step in the decode loop
-    params = quantize_params_int8_incremental(cfg, params)
+    # int8 weight-only serving: halves HBM bytes/step in the decode loop.
+    # LLARK_TPU_BENCH_QUANT=int4 selects group-int4 + the Pallas kernel
+    # (experimental; requires LLARK_TPU_INT4_KERNEL=1 for the kernel path).
+    import os
+
+    if os.environ.get("LLARK_TPU_BENCH_QUANT") == "int4":
+        params = quantize_params_int4_incremental(cfg, params)
+    else:
+        params = quantize_params_int8_incremental(cfg, params)
 
     prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id=31999, max_cache_len=MAX_LEN))
     gen_cfg = GenerationConfig(temperature=0.0, decode_chunk=CHUNK)

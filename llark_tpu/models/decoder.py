@@ -175,7 +175,7 @@ def init_kv_cache(
 
 def _dense(x, w, b, dtype):
     if isinstance(w, dict):  # int8/int4 weight-only (llark_tpu/models/quant.py)
-        if "q4" in w:
+        if "q4" in w or "q4c" in w:
             from llark_tpu.models.quant import quantized_dense_int4
 
             return quantized_dense_int4(x, w, b, dtype)
@@ -414,7 +414,11 @@ def compute_logits(cfg: ModelConfig, params: Params, hidden: jnp.ndarray) -> jnp
         return jnp.einsum("bsh,vh->bsv", hidden, w, preferred_element_type=jnp.float32)
     w = params["lm_head"]  # [H, V]
     if isinstance(w, dict):
-        if "q4" in w:  # int4 weight-only
+        if "q4c" in w:  # int4 cols layout: fused no-dequant-copy path
+            from llark_tpu.models.quant import quantized_dense_int4
+
+            return quantized_dense_int4(hidden, w, None, dtype).astype(jnp.float32)
+        if "q4" in w:  # int4 rows layout
             from llark_tpu.models.quant import dequantize_weight_int4
 
             w4 = dequantize_weight_int4(w, dtype)

@@ -115,21 +115,93 @@ def dequantize_weight_int4(wq: Dict[str, jnp.ndarray], dtype=jnp.float32) -> jnp
 
 
 def is_quantized_int4(w) -> bool:
-    return isinstance(w, dict) and "q4" in w and "scale" in w
+    return isinstance(w, dict) and ("q4" in w or "q4c" in w) and "scale" in w
+
+
+def quantize_weight_int4_cols(w: jnp.ndarray, group: int = 128) -> Dict[str, jnp.ndarray]:
+    """[..., in, out] -> {'q4c': int8 [..., in, out/2], 'scale': f32
+    [..., in/group, out]} — same symmetric group-int4 numerics as
+    quantize_weight_int4, but nibbles packed along the OUT (minor) axis:
+    byte [h, d] = col 2d in the low nibble, col 2d+1 in the high nibble.
+    This is exactly the layout `lax.bitcast_convert_type(int8 -> int4)`
+    unpacks for free (a new minor axis, low nibble first), so the serving
+    matmul can read s4 weights straight from HBM with no VPU unpack
+    (quantized_dense_int4, XLA-native path)."""
+    *lead, fan_in, fan_out = w.shape
+    if fan_in % group or fan_out % 2:
+        raise ValueError(f"fan_in {fan_in} must divide group {group}; fan_out even")
+    wf = w.astype(jnp.float32).reshape(*lead, fan_in // group, group, fan_out)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(*lead, fan_in, fan_out)
+    lo = q[..., :, 0::2] & 0x0F
+    hi = jnp.left_shift(q[..., :, 1::2] & 0x0F, 4)
+    return {"q4c": (lo | hi).astype(jnp.int8), "scale": scale[..., 0, :]}
+
+
+def _unpack_int4_cols(q4c: jnp.ndarray) -> jnp.ndarray:
+    """int8 [..., in, out/2] -> s4 [..., in, out] via bitcast (no VPU work)."""
+    w4 = jax.lax.bitcast_convert_type(q4c, jnp.int4)  # [..., in, out/2, 2]
+    return w4.reshape(*q4c.shape[:-1], q4c.shape[-1] * 2)
+
+
+def dequantize_weight_int4_cols(wq: Dict[str, jnp.ndarray], dtype=jnp.float32) -> jnp.ndarray:
+    q = _unpack_int4_cols(wq["q4c"]).astype(dtype)
+    *lead, fan_in, out = q.shape
+    g = wq["scale"].shape[-2]
+    qg = q.reshape(*lead, g, fan_in // g, out)
+    scaled = qg * wq["scale"][..., :, None, :].astype(dtype)
+    return scaled.reshape(*lead, fan_in, out)
+
+
+def _dense_int4_cols(x: jnp.ndarray, wq: Dict[str, jnp.ndarray], b, dtype):
+    """y = x @ dequant(q4c) with the scale applied to the per-group PARTIAL
+    SUMS, not the weights: y[m,d] = sum_g s[g,d] * (x_g @ w4_g)[m,d]. The
+    weight-side work is a pure s4 read feeding the MXU; the only elementwise
+    dequant cost is [G, M, D] on the output side (M=1 in decode)."""
+    q4c, scale = wq["q4c"], wq["scale"]
+    fan_in = q4c.shape[-2]
+    n_groups = scale.shape[-2]
+    group = fan_in // n_groups
+    w4 = _unpack_int4_cols(q4c)  # [in, out] s4
+    fan_out = w4.shape[-1]
+    lead = x.shape[:-1]
+    xg = x.reshape(-1, n_groups, group).astype(dtype)
+    wg = w4.reshape(n_groups, group, fan_out)
+    # batch over groups: [G, M, out]
+    partial = jax.lax.dot_general(
+        xg,
+        wg.astype(dtype),
+        dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.einsum(
+        "gmd,gd->md", partial, scale.astype(jnp.float32)
+    ).astype(dtype)
+    y = y.reshape(*lead, fan_out)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
 
 
 def quantized_dense_int4(x: jnp.ndarray, wq: Dict[str, jnp.ndarray], b, dtype):
     """y = x @ dequant(q4) [+ b].
 
     STATUS (experimental): int4 storage/quantize/dequantize are correct and
-    tested, but NEITHER execution path is fast on TPU yet — XLA
-    materializes dequantized weights (fallback), and the Pallas kernel
-    (llark_tpu/ops/int4_matmul, enabled via LLARK_TPU_INT4_KERNEL=1) is
-    VPU-bound on the nibble unpack. int8 (quantized_dense) is the
-    recommended serving format; a Mosaic-level unpack kernel is future
-    work."""
+    tested, but NO execution path is fast on TPU yet. Measured end-to-end
+    7B decode on one v5e chip (int8 = 73.8 tok/s): rows layout + Pallas
+    kernel (LLARK_TPU_INT4_KERNEL=1) = 35.9 tok/s — VPU-bound on the
+    nibble unpack (~10 elementwise ops/byte); cols layout + native-s4
+    bitcast dot = 9.2 tok/s — XLA materializes the dequantized weights
+    instead of fusing the s4 convert into the dot operand read. int8
+    (quantized_dense) is the recommended serving format; int4 remains a
+    2x-smaller storage/checkpoint format. A Mosaic-level s4 operand load
+    is the missing piece."""
     import os
 
+    if "q4c" in wq:
+        return _dense_int4_cols(x, wq, b, dtype)
     q4, scale = wq["q4"], wq["scale"]
     fan_in = q4.shape[-2] * 2
     group = fan_in // scale.shape[-2]
@@ -137,7 +209,13 @@ def quantized_dense_int4(x: jnp.ndarray, wq: Dict[str, jnp.ndarray], b, dtype):
         os.environ.get("LLARK_TPU_INT4_KERNEL")
         and jax.default_backend() == "tpu"
     )
-    if use_kernel and q4.ndim == 2 and group >= 128 and fan_in % 256 == 0:
+    if (
+        use_kernel
+        and q4.ndim == 2
+        and group >= 128
+        and fan_in % 256 == 0
+        and q4.shape[-1] % 128 == 0  # fan_out must tile (lm_head 32004 won't)
+    ):
         from llark_tpu.ops.int4_matmul import int4_matmul
 
         lead = x.shape[:-1]
@@ -155,11 +233,27 @@ def quantized_dense_int4(x: jnp.ndarray, wq: Dict[str, jnp.ndarray], b, dtype):
 
 
 def quantize_params_int4_incremental(
-    cfg: ModelConfig, params: Params, group: int = 128
+    cfg: ModelConfig, params: Params, group: int = 128, layout: str = "cols"
 ) -> Params:
     """int4 counterpart of quantize_params_int8_incremental (takes
-    ownership of `params`)."""
-    qfn = jax.jit(lambda w: quantize_weight_int4(w, group), donate_argnums=(0,))
+    ownership of `params`). layout="cols" (default) packs nibbles along
+    the out-axis for the XLA-native bitcast serving path
+    (_dense_int4_cols); "rows" packs along the contraction axis for the
+    Pallas kernel path."""
+    def q_one(w):
+        if layout == "cols":
+            return quantize_weight_int4_cols(w, group)
+        return quantize_weight_int4(w, group)
+
+    def q_any(w):
+        # stacked [L, ...] leaves: serialize over layers so the f32
+        # quantization intermediates are 1/L-sized (a 7B stacked MLP leaf
+        # is 5.8 GB in f32 — quantizing it in one shot OOMs a 16 GB chip)
+        if w.ndim == 3:
+            return jax.lax.map(q_one, w)
+        return q_one(w)
+
+    qfn = jax.jit(q_any, donate_argnums=(0,))
     layers = params["layers"]
     for name in QUANT_TARGETS:
         if name in layers and "_lora_" not in name:
@@ -168,7 +262,13 @@ def quantize_params_int4_incremental(
             del w
     if "lm_head" in params:
         w = params.pop("lm_head")
-        params["lm_head"] = qfn(w)
+        if layout != "cols" and w.shape[-1] % 128:
+            # rows layout + untileable fan_out (e.g. vocab 32004): the
+            # Pallas kernel can't tile it — int8 keeps the head on the
+            # fused no-dequant-copy path instead of materializing bf16
+            params["lm_head"] = jax.jit(quantize_weight, donate_argnums=(0,))(w)
+        else:
+            params["lm_head"] = qfn(w)
         del w
     return params
 
