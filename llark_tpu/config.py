@@ -189,6 +189,14 @@ class TrainingArguments:
     profile_dir: Optional[str] = None  # write a trace here when set
     profile_start_step: int = 10
     profile_num_steps: int = 3
+    # multi-host: call jax.distributed.initialize() before device use
+    # (the reference's torch.distributed.launch equivalent; TPU pod slices
+    # discover the topology from the runtime, no rank/world args needed)
+    multihost: bool = False
+    # preemption safety: on SIGTERM/SIGINT finish the in-flight step, write
+    # a checkpoint, and exit cleanly so --resume continues from it (TPU
+    # spot/maintenance events; the reference relies on save_steps alone)
+    checkpoint_on_preemption: bool = True
 
 
 def write_args_to_file(args_list, output_dir: str) -> None:

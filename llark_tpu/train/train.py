@@ -116,6 +116,41 @@ def build_tokenizer(model_args: ModelArguments, training_args: TrainingArguments
     )
 
 
+class PreemptionGuard:
+    """SIGTERM/SIGINT -> finish the in-flight step, checkpoint, exit cleanly.
+
+    TPU spot VMs and maintenance events deliver SIGTERM with a grace
+    window; the reference's only recovery is the last periodic save
+    (SURVEY.md §5). Signal handlers run on the main thread between step
+    dispatches, so `triggered` is checked once per step. On multi-host
+    runs each host sees its own signal; the saved step may differ by one
+    across hosts, and `--resume` restores from the latest COMPLETE orbax
+    checkpoint either way."""
+
+    def __init__(self, enabled: bool = True):
+        import signal
+
+        self.triggered = False
+        self._prev = {}
+        if not enabled:
+            return
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, self._handler)
+        except ValueError:  # not on the main thread (tests, notebooks)
+            self._prev = {}
+
+    def _handler(self, signum, frame):  # noqa: ARG002
+        log.warning("received signal %d; will checkpoint and exit", signum)
+        self.triggered = True
+
+    def restore(self):
+        import signal
+
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+
+
 def smoke_test_batch(batch: Dict[str, np.ndarray]) -> None:
     """Log shapes/dtypes of one batch before training
     (reference: m2t/train.py:240-253)."""
@@ -135,9 +170,19 @@ def train(
     max_steps_override: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Run training; returns summary dict (for tests / callers)."""
+    if training_args.multihost:
+        # TPU pod slice: one process per host; topology comes from the TPU
+        # runtime (the reference's torch.distributed.launch + NCCL env is
+        # not needed — collectives are emitted by GSPMD over ICI/DCN)
+        jax.distributed.initialize()
+        log.info(
+            "multihost: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
     # jax import already ran basicConfig; configure our logger explicitly
     pkg_log = logging.getLogger("llark_tpu")
-    pkg_log.setLevel(logging.INFO)
+    pkg_log.setLevel(logging.INFO if jax.process_index() == 0 else logging.WARNING)
     pkg_log.propagate = False  # avoid duplicate lines via jax's root handler
     if not pkg_log.handlers:
         h = logging.StreamHandler()
@@ -299,6 +344,8 @@ def train(
     t_start = time.time()
     t_prev = t_start
     profiling = False
+    guard = PreemptionGuard(training_args.checkpoint_on_preemption)
+    preempted = False
     with mesh:
         first = True
         for i, batch in enumerate(iterator):
@@ -344,8 +391,13 @@ def train(
                 )
             if (step_i + 1) % training_args.save_steps == 0:
                 ckpt.save(step_i + 1, state, {"seed": training_args.seed, "batches_seen": step_i + 1})
+            if guard.triggered:
+                log.warning("preemption: checkpointing at step %d and exiting", step_i + 1)
+                preempted = True
+                break
         if profiling:
             jax.profiler.stop_trace()
+    guard.restore()
 
     final_step = int(state.step)
     if final_step > start_step:
@@ -369,6 +421,7 @@ def train(
         "state": state,
         "cfg": cfg,
         "bundle": bundle,
+        "preempted": preempted,
     }
 
 

@@ -136,3 +136,58 @@ def test_train_with_chunked_loss(tmp_path):
     result = train(model_args, data_args, training_args)
     assert result["final_step"] == 4
     assert all(np.isfinite(result["losses"]))
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-run -> clean exit with a checkpoint; a second invocation
+    resumes past the preempted step (TrainingArguments.checkpoint_on_preemption)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    shard = write_shards(tmp_path)
+    script = textwrap.dedent(f"""
+        import os, signal, threading, time
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from llark_tpu.config import DataArguments, ModelArguments, TrainingArguments
+        from llark_tpu.train.train import train
+
+        model_args = ModelArguments(model_name_or_path="tiny", mm_hidden_size=16)
+        data_args = DataArguments(train_data_path={shard!r}, max_audio_frames=6,
+                                  task_sample_probs={{"mir": 1.0}})
+        training_args = TrainingArguments(
+            output_dir={str(tmp_path / "out")!r},
+            per_device_train_batch_size=2, gradient_accumulation_steps=1,
+            model_max_length=96, learning_rate=1e-3, max_steps=500,
+            save_steps=1000, logging_steps=1, mesh_shape=(1, 1, 1), seed=0,
+        )
+        # deliver SIGTERM to ourselves shortly after training starts
+        threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+        result = train(model_args, data_args, training_args)
+        print("PREEMPTED", result["preempted"], "STEP", result["final_step"])
+    """)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (os.getcwd(), env.get("PYTHONPATH", "")) if p
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300, cwd=os.getcwd(),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PREEMPTED True" in proc.stdout, proc.stdout + proc.stderr[-500:]
+    step = int(proc.stdout.split("STEP")[1].split()[0])
+    assert 0 < step < 500
+
+    # resume continues from the preemption checkpoint
+    model_args, data_args, training_args = make_args(
+        tmp_path, shard, max_steps=step + 2, save_steps=1000
+    )
+    r2 = train(model_args, data_args, training_args)
+    assert r2["final_step"] == step + 2
+    assert not r2["preempted"]
