@@ -130,9 +130,19 @@ class DataArguments:
 
     train_data_path: Optional[str] = None
     eval_data_path: Optional[str] = None
+    # fraction of the eval stream to keep (reference rsample_frac,
+    # m2t/data_modules.py:709); None = all
+    eval_data_subsample: Optional[float] = None
     is_multimodal: bool = True
     sep_audio_conv_front: bool = False
     task_sample_probs: Optional[Dict[str, float]] = None
+    # gate for task_sample_probs (reference: m2t/arguments.py:68,
+    # data_modules.py:698-700). True here (we always ship probs defaults)
+    apply_task_sample_probs: bool = True
+    # parity field: on-the-fly audio loading root (the reference's vendored
+    # LLaVA preprocess reads it; the m2t audio path packs encodings into
+    # shards instead, as do we)
+    audio_folder: Optional[str] = None
     max_audio_frames: int = 256  # pad/truncate audio frame axis (static shapes)
     # parallel example-processing threads (1 = deterministic stream; >1
     # trades replay determinism for host throughput)
@@ -177,6 +187,15 @@ class TrainingArguments:
     lora_r: int = 64
     lora_alpha: int = 16
     lora_dropout: float = 0.05
+    # warm-start LoRA factors from a saved adapter dir (reference:
+    # m2t/llava/train/train.py:90 lora_weight_path)
+    lora_weight_path: str = ""
+    # reference lora_bias; only "none" is meaningful here (our LoRA adds no
+    # bias terms) — any other value raises at startup
+    lora_bias: str = "none"
+    # pin the projector while training other stages (reference:
+    # m2t/llava/train/train.py:68)
+    freeze_mm_mlp_adapter: bool = False
     # TPU-native additions
     mesh_shape: Tuple[int, int, int] = (1, 1, 1)  # (data, fsdp, tensor)
     resume: bool = True

@@ -209,14 +209,18 @@ def make_dataset_iterator(
     GIL) at the cost of deterministic ordering — resume fast-forward
     (skip_batches) and golden-replay tests require num_workers=1."""
     urls = expand_url_to_file_list(url)
-    if is_train:
+    if is_train and data_args.apply_task_sample_probs and data_args.task_sample_probs:
         urls = repeat_shards(urls, data_args.task_sample_probs, seed=seed)
     urls = split_by_host(urls)
     rng = random.Random(seed)
+    # eval-stream subsampling (reference rsample_frac: m2t/data_modules.py:709)
+    subsample = None if is_train else data_args.eval_data_subsample
 
     def example_stream_for(worker_urls, worker_rng):
         reader = make_shard_reader(worker_urls)
         for sample in reader:
+            if subsample is not None and worker_rng.random() >= subsample:
+                continue
             for conv in sample_to_conversations(sample, worker_rng):
                 arrays = example_to_arrays(
                     conv, bundle, data_args.max_audio_frames

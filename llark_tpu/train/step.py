@@ -45,15 +45,18 @@ def trainable_mask(
     freeze_backbone: bool = False,
     tune_mm_mlp_adapter: bool = False,
     lora: bool = False,
+    freeze_mm_mlp_adapter: bool = False,
 ) -> Dict[str, Any]:
     """True = trainable. Adapter-only stage trains mm_projector + embed
     (new-token rows are gated inside the model by trainable_token_start).
     LoRA stage trains the low-rank factors + projector + embed (the
-    reference's adapter + non_lora_trainables split, m2t/train.py:264-273)."""
+    reference's adapter + non_lora_trainables split, m2t/train.py:264-273).
+    freeze_mm_mlp_adapter pins the projector (reference
+    m2t/llava/train/train.py:68 / m2t/train.py:143-164 grad-flag wiring)."""
 
     def mask_entry(path_key: str, subtree):
         if path_key == "mm_projector":
-            return jax.tree.map(lambda _: True, subtree)
+            return jax.tree.map(lambda _: not freeze_mm_mlp_adapter, subtree)
         if lora:
             if path_key == "layers":
                 return {

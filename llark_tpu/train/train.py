@@ -226,14 +226,23 @@ def train(
             params, load_projector_weights(model_args.pretrain_mm_mlp_adapter)
         )
     if training_args.lora_enable:
-        from llark_tpu.models.lora import init_lora_params
+        from llark_tpu.models.lora import init_lora_params, load_lora_adapter
 
+        if training_args.lora_bias not in ("", "none"):
+            raise NotImplementedError(
+                "lora_bias != 'none' is not supported (our LoRA has no bias terms)"
+            )
         cfg.lora_rank = training_args.lora_r
         cfg.lora_alpha = float(training_args.lora_alpha)
         cfg.lora_dropout = float(training_args.lora_dropout)
         params = init_lora_params(
             cfg, jax.random.PRNGKey(training_args.seed + 1), params
         )
+        if training_args.lora_weight_path:
+            # warm-start factors from a saved adapter
+            # (reference: m2t/llava/train/train.py:90)
+            params, meta = load_lora_adapter(training_args.lora_weight_path, params)
+            log.info("warm-started LoRA from %s (%s)", training_args.lora_weight_path, meta)
     if training_args.bits == 8:
         # QLoRA-style: int8 frozen base (reference: bnb 4/8-bit,
         # m2t/arguments.py:112-133). Requires a frozen-base mode.
@@ -261,6 +270,7 @@ def train(
             freeze_backbone=model_args.freeze_backbone,
             tune_mm_mlp_adapter=model_args.tune_mm_mlp_adapter,
             lora=training_args.lora_enable,
+            freeze_mm_mlp_adapter=training_args.freeze_mm_mlp_adapter,
         )
         param_partition = ParamPartition(params, mask)
         optimizer = make_optimizer(training_args, params)  # plain core

@@ -165,8 +165,15 @@ def test_preemption_checkpoint_and_resume(tmp_path):
             model_max_length=96, learning_rate=1e-3, max_steps=500,
             save_steps=1000, logging_steps=1, mesh_shape=(1, 1, 1), seed=0,
         )
-        # deliver SIGTERM to ourselves shortly after training starts
-        threading.Timer(8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+        # a no-op handler protects the setup phase (imports/compile can be
+        # slow under load); train() swaps in its PreemptionGuard for the
+        # loop, and the repeating sender guarantees a signal lands there
+        signal.signal(signal.SIGTERM, lambda *a: None)
+        def send_forever():
+            while True:
+                time.sleep(4.0)
+                os.kill(os.getpid(), signal.SIGTERM)
+        threading.Thread(target=send_forever, daemon=True).start()
         result = train(model_args, data_args, training_args)
         print("PREEMPTED", result["preempted"], "STEP", result["final_step"])
     """)
@@ -191,3 +198,43 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     r2 = train(model_args, data_args, training_args)
     assert r2["final_step"] == step + 2
     assert not r2["preempted"]
+
+
+def test_eval_subsample_and_freeze_projector(tmp_path):
+    """eval_data_subsample thins the eval stream; freeze_mm_mlp_adapter pins
+    the projector while other weights train."""
+    import jax
+
+    from llark_tpu.config import DataArguments
+    from llark_tpu.data.pipeline import make_dataset_iterator
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    shard = write_shards(tmp_path, n=16)
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    def count(sub):
+        args = DataArguments(eval_data_path=shard, max_audio_frames=6,
+                             eval_data_subsample=sub)
+        it = make_dataset_iterator(shard, bundle, args, batch_size=1,
+                                   max_seq_len=96, mm_hidden_size=16,
+                                   is_train=False, seed=0)
+        return sum(1 for _ in it)
+    full, thin = count(None), count(0.4)
+    assert full == 32  # 16 tracks x 2 QA
+    assert 0 < thin < full
+
+    # freeze_mm_mlp_adapter: projector unchanged after training steps
+    model_args, data_args, training_args = make_args(
+        tmp_path, shard, max_steps=2,
+        model_kw=dict(freeze_backbone=False),
+    )
+    training_args.freeze_mm_mlp_adapter = True
+    model_args.tune_mm_mlp_adapter = False
+    model_args.freeze_backbone = True  # partitioned path
+    result = train(model_args, data_args, training_args)
+    params = jax.device_get(result["state"].params)
+    # compare against a fresh init with the same seed
+    from llark_tpu.models.fusion import init_llark_params
+    init = jax.device_get(init_llark_params(result["cfg"], jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(
+        params["mm_projector"]["kernel"], init["mm_projector"]["kernel"]
+    )
