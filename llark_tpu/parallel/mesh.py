@@ -119,18 +119,24 @@ def param_partition_specs(cfg: ModelConfig, multimodal: bool = True) -> Dict[str
 
 
 def adapt_specs_to_params(specs: Any, params: Any) -> Any:
-    """Expand P-leaf specs into {q, scale} spec dicts wherever the param
-    tree holds an int8-quantized weight (llark_tpu/models/quant.py)."""
+    """Expand P-leaf specs into {q, scale} / {q4, scale} / {q4c, scale}
+    spec dicts wherever the param tree holds a quantized weight
+    (llark_tpu/models/quant.py). The packed array keeps the base weight's
+    spec (packing preserves dim count and which dim is in/out); scales are
+    sharded only along the out axis."""
 
     def is_quant(p) -> bool:
-        return isinstance(p, dict) and "q" in p and "scale" in p
+        return isinstance(p, dict) and "scale" in p and (
+            "q" in p or "q4" in p or "q4c" in p
+        )
 
     def walk(spec, p):
         if is_quant(p):
             base = spec if isinstance(spec, P) else P()
             tail = base[-1] if len(base) else None
             scale_spec = P(*([None] * (p["scale"].ndim - 1) + [tail]))
-            return {"q": base, "scale": scale_spec}
+            qkey = "q" if "q" in p else ("q4" if "q4" in p else "q4c")
+            return {qkey: base, "scale": scale_spec}
         if isinstance(p, dict):
             return {k: walk(spec[k] if isinstance(spec, dict) else spec, v)
                     for k, v in p.items()}

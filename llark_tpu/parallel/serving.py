@@ -60,7 +60,12 @@ class ShardedGenerator:
         self.audio_patch_id = audio_patch_id
         self.max_cache_len = max_cache_len
 
-        pspecs = param_partition_specs(cfg)
+        # adapt to quantized param trees: int8 {q, scale} / int4 {q4c, ...}
+        # leaves get matching spec dicts (production TP serving config is
+        # int8 weights sharded over "tensor")
+        from llark_tpu.parallel.mesh import adapt_specs_to_params
+
+        pspecs = adapt_specs_to_params(param_partition_specs(cfg), params)
         self.param_sh = param_shardings(mesh, pspecs)
         self.params = jax.tree.map(jax.device_put, params, self.param_sh)
 

@@ -57,3 +57,32 @@ def test_sharded_keyword_stopping(setup):
     out = sharded.generate(ids, plens, audio, fcnt,
                            tokenizer=bundle.tokenizer)
     assert all(len(o) <= 8 for o in out)
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_sharded_quantized_matches_single_chip(setup, quant):
+    """Production TP serving config: quantized weights sharded over the
+    tensor axis must decode the same tokens as the single-chip quantized
+    path (adapt_specs_to_params expands specs for {q,q4c,scale} dicts)."""
+    from llark_tpu.models.quant import (
+        quantize_params_int4_incremental,
+        quantize_params_int8_incremental,
+    )
+
+    bundle, cfg, params, ids, plens, audio, fcnt = setup
+    qparams = jax.tree.map(lambda x: x, params)
+    if quant == "int8":
+        qparams = quantize_params_int8_incremental(cfg, qparams)
+    else:
+        qparams = quantize_params_int4_incremental(cfg, qparams, group=32)
+    gen_cfg = GenerationConfig(max_new_tokens=6, temperature=0.0,
+                               stop_text="", decode_chunk=3)
+    single = Generator(cfg, qparams, bundle.audio_patch_id, gen_cfg,
+                       max_cache_len=64)
+    ref = single.generate(ids, plens, audio, fcnt)
+
+    mesh = make_mesh((1, 2, 4))
+    sharded = ShardedGenerator(mesh, cfg, qparams, bundle.audio_patch_id,
+                               gen_cfg, max_cache_len=64)
+    got = sharded.generate(ids, plens, audio, fcnt)
+    assert got == ref
