@@ -1,0 +1,246 @@
+"""Continuous-batching serving engine.
+
+The reference serves batch=1, one request at a time
+(scripts/inference/infer_from_webdataset.py:84-151). Production TPU
+serving wants the decode step to stay batched while requests arrive and
+finish at different times. This engine keeps ONE persistent batched KV
+cache of `max_batch` slots and:
+
+  * prefills each incoming request as a single row (one compiled b=1
+    prefill per prompt bucket) and splices it into a free slot of the
+    batched cache with a jitted dynamic_update_slice — no recompile, no
+    batch-wide stall;
+  * decodes all slots together in chunked lax.scan steps (per-row write
+    positions, so rows at different depths coexist in one program);
+  * retires rows on max_new_tokens / stop-text / EOS and immediately
+    reuses their slots for queued requests.
+
+Everything on-device is fixed-shape: one prefill program per prompt
+bucket and one decode program total, compiled once.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import (
+    GenerationConfig,
+    make_multistep_decode_fn,
+    make_prefill_fn,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class Request:
+    input_ids: np.ndarray  # [S] int32 (unpadded)
+    audio_encoding: Optional[np.ndarray] = None  # [T, mm] f32
+    # filled by the engine:
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+
+class BatchedServer:
+    """Continuous-batching engine over a fixed slot count."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        audio_patch_id: int,
+        gen_cfg: Optional[GenerationConfig] = None,
+        *,
+        max_batch: int = 4,
+        max_cache_len: int = 1024,
+        prompt_buckets: tuple = (128, 512),
+        max_audio_frames: int = 60,
+        decode_chunk: int = 8,
+        tokenizer=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.audio_patch_id = audio_patch_id
+        self.gen_cfg = gen_cfg or GenerationConfig()
+        self.max_batch = max_batch
+        self.max_cache_len = max_cache_len
+        self.prompt_buckets = tuple(sorted(prompt_buckets))
+        self.max_audio_frames = max_audio_frames
+        self.decode_chunk = decode_chunk
+        self.tokenizer = tokenizer
+
+        # one b=1 prefill program per prompt bucket
+        self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
+        self._decode_n = jax.jit(
+            make_multistep_decode_fn(cfg, self.gen_cfg, decode_chunk),
+            donate_argnums=(2,),
+        )
+        self._insert = jax.jit(self._insert_row, donate_argnums=(0,))
+
+        # persistent batched cache, built lazily from the first prefill's
+        # row cache structure (avoids duplicating init_kv_cache shapes here)
+        self._cache = None
+        # host-side slot state
+        self._slot_req: List[Optional[Request]] = [None] * max_batch
+        self._write_pos = np.zeros((max_batch,), np.int32)
+        self._tokens_in_flight = np.zeros((max_batch,), np.int32)  # pending device col
+        self._queue: List[Request] = []
+        self._rng = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _insert_row(batch_cache, row_cache, slot):
+        """Splice a b=1 row cache into slot `slot` of the batched cache."""
+
+        def upd(b, r):
+            if b.ndim == 0:  # scalar index — decode uses per-row positions
+                return b
+            # cache leaves are [L, B, ...]; row is [L, 1, ...]
+            start = (0, slot) + (0,) * (b.ndim - 2)
+            return jax.lax.dynamic_update_slice(b, r.astype(b.dtype), start)
+
+        return jax.tree.map(upd, batch_cache, row_cache)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"prompt length {n} exceeds the largest bucket {self.prompt_buckets[-1]}"
+        )
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self._slot_req) if r is None]
+
+    def _admit(self) -> None:
+        """Prefill queued requests into free slots."""
+        for slot in self._free_slots():
+            if not self._queue:
+                return
+            req = self._queue.pop(0)
+            n = len(req.input_ids)
+            bucket = self._bucket(n)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :n] = req.input_ids
+            if req.audio_encoding is not None:
+                t = min(req.audio_encoding.shape[0], self.max_audio_frames)
+                audio = np.zeros((1, self.max_audio_frames, self.cfg.mm_hidden_size), np.float32)
+                audio[0, :t] = req.audio_encoding[:t]
+                fcnt = np.array([t], np.int32)
+            else:
+                audio = np.zeros((1, 1, self.cfg.mm_hidden_size), np.float32)
+                fcnt = np.zeros((1,), np.int32)
+            logits, row_cache = self._prefill(
+                self.params, jnp.asarray(ids), jnp.array([n], jnp.int32),
+                jnp.asarray(audio), jnp.asarray(fcnt),
+            )
+            self._rng, sub = jax.random.split(self._rng)
+            from llark_tpu.generate import _sample
+
+            first = int(jax.device_get(_sample(logits, self.gen_cfg, sub))[0])
+            if self._cache is None:
+                # build the persistent batched cache from the row structure
+                self._cache = jax.tree.map(
+                    lambda r: (
+                        r if r.ndim == 0
+                        else jnp.zeros((r.shape[0], self.max_batch) + r.shape[2:], r.dtype)
+                    ),
+                    row_cache,
+                )
+            self._cache = self._insert(self._cache, row_cache, slot)
+            req.tokens.append(first)
+            req.first_token_at = time.time()
+            self._slot_req[slot] = req
+            self._write_pos[slot] = n
+            self._tokens_in_flight[slot] = first
+            self._maybe_finish(slot)  # first token may already be EOS
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self._slot_req[slot]
+        if req is None:
+            return
+        done = len(req.tokens) >= self.gen_cfg.max_new_tokens
+        eos_id = getattr(self.tokenizer, "eos_token_id", None)
+        if not done and eos_id is not None and req.tokens and req.tokens[-1] == eos_id:
+            done = True
+        if not done and self.gen_cfg.stop_text and self.tokenizer is not None:
+            text = self.tokenizer.decode(req.tokens)
+            if self.gen_cfg.stop_text in text:
+                done = True
+        if done:
+            req.done = True
+            req.finished_at = time.time()
+            self._slot_req[slot] = None
+
+    def _active(self) -> List[int]:
+        return [i for i, r in enumerate(self._slot_req) if r is not None]
+
+    def _decode_round(self) -> None:
+        """One chunked decode over all slots (inactive rows write to the
+        last cache position, which is never attended by live rows)."""
+        active = self._active()
+        if not active:
+            return
+        token = np.zeros((self.max_batch,), np.int32)
+        # inactive rows park at the last `chunk` cache positions, which live
+        # rows can never attend (serve() caps prompt+max_new at S - chunk)
+        pos = np.full((self.max_batch,), self.max_cache_len - self.decode_chunk, np.int32)
+        for i in active:
+            token[i] = self._tokens_in_flight[i]
+            pos[i] = self._write_pos[i]
+        self._rng, sub = jax.random.split(self._rng)
+        toks, _logits, self._cache = self._decode_n(
+            self.params, jnp.asarray(token), self._cache, jnp.asarray(pos), sub
+        )
+        toks = np.asarray(jax.device_get(toks))  # [B, chunk]
+        for i in active:
+            req = self._slot_req[i]
+            budget = self.gen_cfg.max_new_tokens - len(req.tokens)
+            take = toks[i, : max(0, min(self.decode_chunk, budget))]
+            req.tokens.extend(int(t) for t in take)
+            self._write_pos[i] += len(take)
+            self._tokens_in_flight[i] = int(toks[i, -1])
+            self._maybe_finish(i)
+
+    # ------------------------------------------------------------------
+    def serve(self, requests: List[Request]) -> List[Request]:
+        """Run all requests to completion with continuous batching; returns
+        the same list with tokens/timestamps filled."""
+        now = time.time()
+        for r in requests:
+            r.submitted_at = now
+            cap = self.max_cache_len - self.gen_cfg.max_new_tokens - self.decode_chunk
+            if len(r.input_ids) > cap:
+                raise ValueError(f"prompt {len(r.input_ids)} exceeds capacity {cap}")
+        self._queue.extend(requests)
+        while self._queue or self._active():
+            self._admit()
+            self._decode_round()
+        return requests
+
+    def stats(self, requests: List[Request]) -> Dict[str, Any]:
+        lat = [r.finished_at - r.submitted_at for r in requests if r.finished_at]
+        ttft = [r.first_token_at - r.submitted_at for r in requests if r.first_token_at]
+        toks = sum(len(r.tokens) for r in requests)
+        wall = max((r.finished_at or 0.0) for r in requests) - min(
+            r.submitted_at for r in requests
+        )
+        return {
+            "requests": len(requests),
+            "tokens": toks,
+            "tokens_per_sec": toks / wall if wall > 0 else float("nan"),
+            "mean_latency_s": float(np.mean(lat)) if lat else float("nan"),
+            "mean_ttft_s": float(np.mean(ttft)) if ttft else float("nan"),
+        }

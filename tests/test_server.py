@@ -1,0 +1,103 @@
+"""Continuous-batching server: token equality vs the one-shot Generator,
+slot reuse, stop handling."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import GenerationConfig, Generator
+from llark_tpu.inference.server import BatchedServer, Request
+from llark_tpu.models.fusion import init_llark_params
+from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    reqs = []
+    for i, L in enumerate([5, 9, 7, 6, 11, 4]):
+        ids = rng.randint(4, 40, L).astype(np.int32)
+        ids[0] = bundle.tokenizer.bos_token_id
+        audio = rng.randn(3, 8).astype(np.float32) if i % 2 == 0 else None
+        reqs.append((ids, audio))
+    return bundle, cfg, params, reqs
+
+
+def _reference_tokens(bundle, cfg, params, reqs, max_new):
+    gen_cfg = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                               stop_text="", decode_chunk=2)
+    out = []
+    for ids, audio in reqs:
+        gen = Generator(cfg, params, bundle.audio_patch_id, gen_cfg,
+                        max_cache_len=64)
+        b_ids = np.zeros((1, 16), np.int32)
+        b_ids[0, :len(ids)] = ids
+        if audio is None:
+            toks = gen.generate(b_ids, np.array([len(ids)], np.int32))
+        else:
+            toks = gen.generate(b_ids, np.array([len(ids)], np.int32),
+                                audio[None], np.array([audio.shape[0]], np.int32))
+        out.append(toks[0])
+    return out
+
+
+def test_server_matches_generator(setup):
+    """6 requests through 2 slots (forcing waves of admission + slot reuse)
+    produce exactly the per-request greedy tokens of the one-shot path."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    got = [r.tokens for r in out]
+    assert got == ref
+
+    stats = server.stats(out)
+    assert stats["requests"] == 6 and stats["tokens"] == 6 * max_new
+    assert np.isfinite(stats["tokens_per_sec"])
+
+
+def test_server_stop_text_frees_slot(setup):
+    """stop_text retirement frees slots early; queued requests still finish."""
+    bundle, cfg, params, reqs = setup
+
+    class StopEverything:
+        eos_token_id = None
+        def decode(self, toks):
+            return "###"  # every decode looks like a stop
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=8, temperature=0.0,
+                         stop_text="###", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2, tokenizer=StopEverything(),
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert all(r.done for r in out)
+    assert all(1 <= len(r.tokens) <= 8 for r in out)
+
+
+def test_server_rejects_oversized_prompt(setup):
+    bundle, cfg, params, _ = setup
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=60, temperature=0.0, stop_text=""),
+        max_batch=2, max_cache_len=64, prompt_buckets=(64,), decode_chunk=2,
+    )
+    big = Request(np.arange(4, 20, dtype=np.int32))
+    with pytest.raises(ValueError):
+        server.serve([big])
