@@ -72,6 +72,7 @@ class ClapEncoder:
 
     cfg: HTSATConfig
     params: Dict[str, Any]
+    mesh: Any = None  # data-parallel: shard the clip batch over the mesh
 
     def __post_init__(self):
         n_frames = self.cfg.n_frames
@@ -83,17 +84,39 @@ class ClapEncoder:
             mel = mel[:, :n_frames]
             return htsat_embed(self.cfg, params, mel)
 
-        self._embed = jax.jit(_embed)
+        if self.mesh is not None:
+            # replicate weights, shard clips over every mesh axis (same
+            # fan-out as JukeboxEncoder; the reference used Beam workers)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(self.mesh, P(self.mesh.axis_names))
+            rep = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self._embed = jax.jit(
+                _embed,
+                in_shardings=(jax.tree.map(lambda _: rep, self.params), batch_sh),
+                out_shardings=batch_sh,
+            )
+            self._batch_multiple = self.mesh.devices.size
+        else:
+            self._embed = jax.jit(_embed)
+            self._batch_multiple = 1
 
     @classmethod
-    def random_init(cls, cfg: Optional[HTSATConfig] = None, seed: int = 0):
+    def random_init(cls, cfg: Optional[HTSATConfig] = None, seed: int = 0, mesh=None):
         cfg = cfg or HTSATConfig.base()
         params = jax.jit(lambda k: init_htsat_params(cfg, k))(jax.random.PRNGKey(seed))
-        return cls(cfg, params)
+        return cls(cfg, params, mesh=mesh)
 
     def embed_batch(self, audio: np.ndarray) -> np.ndarray:
         """audio [B, clip_samples] prepared waveforms -> [B, 512]."""
-        return np.asarray(self._embed(self.params, jnp.asarray(audio)))
+        b = audio.shape[0]
+        m = self._batch_multiple
+        if b % m:
+            pad = m - b % m
+            audio = np.concatenate([audio, np.zeros((pad,) + audio.shape[1:],
+                                                    audio.dtype)])
+        return np.asarray(self._embed(self.params, jnp.asarray(audio)))[:b]
 
     def embed_clip(self, audio: np.ndarray, rng=None) -> np.ndarray:
         """Full single-clip path incl. quantize + trunc/pad. Returns [1, 512]

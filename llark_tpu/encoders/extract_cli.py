@@ -167,18 +167,26 @@ def run_clap(ns) -> int:
     from llark_tpu.audio.io import read_wav
     from llark_tpu.encoders.clap.encode import ClapEncoder, prepare_clip
 
+    mesh = None
+    if ns.data_parallel:
+        import jax
+
+        from llark_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((len(jax.devices()), 1, 1))
+        log.info("data-parallel encode over %d devices", len(jax.devices()))
     if ns.checkpoint:
         from llark_tpu.encoders.clap.import_hf import load_clap_encoder
 
         cfg, params = load_clap_encoder(ns.checkpoint)
-        enc = ClapEncoder(cfg, params)
+        enc = ClapEncoder(cfg, params, mesh=mesh)
     elif ns.tiny:
         from llark_tpu.encoders.clap.htsat import HTSATConfig
 
-        enc = ClapEncoder.random_init(HTSATConfig.tiny())
+        enc = ClapEncoder.random_init(HTSATConfig.tiny(), mesh=mesh)
     else:
         log.warning("no --checkpoint given: RANDOM weights (throughput/dev only)")
-        enc = ClapEncoder.random_init()
+        enc = ClapEncoder.random_init(mesh=mesh)
     os.makedirs(ns.output_dir, exist_ok=True)
     files = list_shard(ns.input_dir, ns.num_shards, ns.shard_index,
                        ns.skip_existing, ns.output_dir)
@@ -215,14 +223,14 @@ def main(argv=None):
         c.add_argument("--shard-index", type=int, default=0)
         c.add_argument("--skip-existing", action="store_true")
         c.add_argument("--tiny", action="store_true", help="tiny configs (tests)")
+        c.add_argument("--data-parallel", action="store_true",
+                       help="shard the clip batch over all local devices")
         if name == "jukebox":
             c.add_argument("--prior-checkpoint", default=None)
             c.add_argument("--prior-depth", type=int, default=36)
             c.add_argument("--fps", type=float, default=10.0)
             c.add_argument("--transfer-dtype", default="int16")
             c.add_argument("--output-dtype", default="bfloat16")
-            c.add_argument("--data-parallel", action="store_true",
-                           help="shard the clip batch over all local devices")
         c.set_defaults(fn=fn)
     ns = p.parse_args(argv)
     n = ns.fn(ns)

@@ -77,3 +77,23 @@ def test_jukebox_extract_data_parallel(tmp_path):
     for name in names:
         arr = np.load(os.path.join(out, name.replace(".wav", ".npy")))
         assert arr.ndim == 2 and arr.shape[0] >= 1
+
+
+def test_clap_data_parallel_matches_single(tmp_path):
+    """--data-parallel CLAP embeddings equal the single-device path (8-way
+    CPU mesh), including a batch that does not divide the device count."""
+    import numpy as np
+
+    from llark_tpu.encoders.clap.encode import CLIP_SAMPLES, ClapEncoder
+    from llark_tpu.encoders.clap.htsat import HTSATConfig
+    from llark_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    cfg = HTSATConfig.tiny()
+    single = ClapEncoder.random_init(cfg)
+    dp = ClapEncoder(cfg, single.params, mesh=make_mesh((8, 1, 1)))
+    audio = rng.randn(5, CLIP_SAMPLES).astype(np.float32)  # 5 % 8 != 0
+    a = single.embed_batch(audio)
+    b = dp.embed_batch(audio)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(a, b, atol=2e-5)
