@@ -82,7 +82,10 @@ def run(cfg_name: str):
     import os
 
     if os.environ.get("LLARK_TPU_BENCH_QUANT") == "int4":
-        params = quantize_params_int4_incremental(cfg, params)
+        # rows layout feeds the Pallas kernel (when LLARK_TPU_INT4_KERNEL=1);
+        # cols layout exercises the XLA bitcast path
+        layout = "rows" if os.environ.get("LLARK_TPU_INT4_KERNEL") else "cols"
+        params = quantize_params_int4_incremental(cfg, params, layout=layout)
     else:
         params = quantize_params_int8_incremental(cfg, params)
 

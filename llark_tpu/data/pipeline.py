@@ -209,8 +209,17 @@ def make_dataset_iterator(
     GIL) at the cost of deterministic ordering — resume fast-forward
     (skip_batches) and golden-replay tests require num_workers=1."""
     urls = expand_url_to_file_list(url)
-    if is_train and data_args.apply_task_sample_probs and data_args.task_sample_probs:
-        urls = repeat_shards(urls, data_args.task_sample_probs, seed=seed)
+    if is_train:
+        # the apply_task_sample_probs gate disables only the task WEIGHTING
+        # (probs=None -> uniform); the epoch-spanning repeat + seeded shuffle
+        # always applies to training streams (reference: repeat_shards is
+        # unconditional in read_webdataset, m2t/data_modules.py:466-495)
+        probs = (
+            data_args.task_sample_probs
+            if data_args.apply_task_sample_probs
+            else None
+        )
+        urls = repeat_shards(urls, probs, seed=seed)
     urls = split_by_host(urls)
     rng = random.Random(seed)
     # eval-stream subsampling (reference rsample_frac: m2t/data_modules.py:709)

@@ -41,7 +41,9 @@ def record_to_sample(rec: Dict[str, Any]) -> Optional[Dict[str, Any]]:
     """
     if not isinstance(rec, dict):
         return None
-    key = rec.get("__key__") or rec.get("id")
+    key = rec.get("__key__")
+    if key is None:  # not `or`: integer id 0 / "" are valid keys
+        key = rec.get("id")
     js = rec.get("json")
     if js is None:
         # records may also inline the response list at top level
@@ -112,6 +114,13 @@ class RecordShardReader:
         self.handler = handler
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if not _HAVE_MSGPACK and any(p.endswith(".msgpack") for p in self.paths):
+            # a missing dependency must fail loudly, not skip-and-warn every
+            # shard into an empty dataset
+            raise ImportError(
+                "msgpack is required for .msgpack shards; install it or "
+                "repack as .jsonl/.tar"
+            )
         for path in self.paths:
             if not os.path.exists(path):
                 if self.handler == "raise":
@@ -138,9 +147,17 @@ _RECORD_EXTS = (".jsonl", ".json", ".msgpack")
 
 def make_shard_reader(paths: Sequence[str], handler: str = "warn"):
     """Dispatch on shard extension: .tar -> TarShardReader, record formats ->
-    RecordShardReader (reference extension dispatch, data_modules.py:640-648)."""
+    RecordShardReader (reference extension dispatch, data_modules.py:640-648).
+    Mixing tar and record shards in one list is an error — a single reader
+    would silently skip the other format's shards as undecodable."""
     paths = list(paths)
-    if paths and any(paths[0].endswith(ext) for ext in _RECORD_EXTS):
+    is_record = [any(p.endswith(ext) for ext in _RECORD_EXTS) for p in paths]
+    if any(is_record) and not all(is_record):
+        raise ValueError(
+            "cannot mix tar and jsonl/json/msgpack shards in one dataset: "
+            f"{paths[:4]}..."
+        )
+    if paths and is_record[0]:
         return RecordShardReader(paths, handler=handler)
     from llark_tpu.data.webdataset import TarShardReader
 

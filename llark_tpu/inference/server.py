@@ -160,29 +160,40 @@ class BatchedServer:
                     row_cache,
                 )
             self._cache = self._insert(self._cache, row_cache, slot)
-            req.tokens.append(first)
             req.first_token_at = time.time()
             self._slot_req[slot] = req
             self._write_pos[slot] = n
             self._tokens_in_flight[slot] = first
-            self._maybe_finish(slot)  # first token may already be EOS
+            if self._absorb(slot, first):  # first token may already be EOS
+                self._finish(slot)
 
-    def _maybe_finish(self, slot: int) -> None:
+    def _absorb(self, slot: int, t: int) -> bool:
+        """Mirror of Generator.generate's per-token absorb (generate.py):
+        EOS tokens are dropped and stop the row; appended tokens check
+        stop_text against an 8-token decoded TAIL only. Returns True when
+        the row is finished."""
         req = self._slot_req[slot]
-        if req is None:
-            return
-        done = len(req.tokens) >= self.gen_cfg.max_new_tokens
-        eos_id = getattr(self.tokenizer, "eos_token_id", None)
-        if not done and eos_id is not None and req.tokens and req.tokens[-1] == eos_id:
-            done = True
-        if not done and self.gen_cfg.stop_text and self.tokenizer is not None:
-            text = self.tokenizer.decode(req.tokens)
-            if self.gen_cfg.stop_text in text:
-                done = True
-        if done:
-            req.done = True
-            req.finished_at = time.time()
-            self._slot_req[slot] = None
+        gen = self.gen_cfg
+        if gen.eos_token_id is not None and t == gen.eos_token_id:
+            return True
+        req.tokens.append(t)
+        if gen.stop_text and self.tokenizer is not None:
+            tail = self.tokenizer.decode(req.tokens[-8:])
+            if gen.stop_text in tail:
+                return True
+        return len(req.tokens) >= gen.max_new_tokens
+
+    def _finish(self, slot: int) -> None:
+        from llark_tpu.generate import Generator
+
+        req = self._slot_req[slot]
+        if self.gen_cfg.stop_text and self.tokenizer is not None:
+            req.tokens = Generator._trim_stop(
+                req.tokens, self.tokenizer, self.gen_cfg.stop_text
+            )
+        req.done = True
+        req.finished_at = time.time()
+        self._slot_req[slot] = None
 
     def _active(self) -> List[int]:
         return [i for i, r in enumerate(self._slot_req) if r is not None]
@@ -206,24 +217,32 @@ class BatchedServer:
         )
         toks = np.asarray(jax.device_get(toks))  # [B, chunk]
         for i in active:
-            req = self._slot_req[i]
-            budget = self.gen_cfg.max_new_tokens - len(req.tokens)
-            take = toks[i, : max(0, min(self.decode_chunk, budget))]
-            req.tokens.extend(int(t) for t in take)
-            self._write_pos[i] += len(take)
-            self._tokens_in_flight[i] = int(toks[i, -1])
-            self._maybe_finish(i)
+            for j in range(self.decode_chunk):
+                if self._absorb(i, int(toks[i, j])):
+                    self._finish(i)
+                    break
+            else:
+                # row still live: cache holds all chunk tokens
+                self._write_pos[i] += self.decode_chunk
+                self._tokens_in_flight[i] = int(toks[i, -1])
 
     # ------------------------------------------------------------------
     def serve(self, requests: List[Request]) -> List[Request]:
         """Run all requests to completion with continuous batching; returns
         the same list with tokens/timestamps filled."""
         now = time.time()
+        cap = min(
+            self.max_cache_len - self.gen_cfg.max_new_tokens - self.decode_chunk,
+            self.prompt_buckets[-1],
+        )
         for r in requests:
             r.submitted_at = now
-            cap = self.max_cache_len - self.gen_cfg.max_new_tokens - self.decode_chunk
             if len(r.input_ids) > cap:
-                raise ValueError(f"prompt {len(r.input_ids)} exceeds capacity {cap}")
+                raise ValueError(
+                    f"prompt {len(r.input_ids)} exceeds capacity {cap} "
+                    f"(cache {self.max_cache_len}, largest bucket "
+                    f"{self.prompt_buckets[-1]})"
+                )
         self._queue.extend(requests)
         while self._queue or self._active():
             self._admit()

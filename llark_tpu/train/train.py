@@ -356,58 +356,61 @@ def train(
     profiling = False
     guard = PreemptionGuard(training_args.checkpoint_on_preemption)
     preempted = False
-    with mesh:
-        first = True
-        for i, batch in enumerate(iterator):
-            step_i = start_step + i
-            if step_i >= max_steps:
-                break
-            if first:
-                smoke_test_batch(batch)
-                first = False
-            if training_args.profile_dir and step_i == training_args.profile_start_step:
-                jax.profiler.start_trace(training_args.profile_dir)
-                profiling = True
-            state, metrics = step_fn(state, put(batch))
-            if profiling and step_i >= (
-                training_args.profile_start_step + training_args.profile_num_steps - 1
-            ):
-                jax.tree.map(
-                    lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-                    metrics,
-                )
-                jax.profiler.stop_trace()
-                profiling = False
-                log.info("wrote profiler trace to %s", training_args.profile_dir)
-            if step_i % training_args.logging_steps == 0:
-                loss = float(metrics["loss"])  # device sync
-                if not np.isfinite(loss):
-                    # non-finite guard: stop rather than burn steps on a
-                    # diverged model (reference has no such guard — SURVEY §5)
-                    log.error("non-finite loss %.3f at step %d; aborting", loss, step_i)
-                    history.append(loss)
+    try:
+        with mesh:
+            first = True
+            for i, batch in enumerate(iterator):
+                step_i = start_step + i
+                if step_i >= max_steps:
                     break
-                history.append(loss)
-                now = time.time()
-                dt = max(now - t_prev, 1e-9) / max(training_args.logging_steps, 1)
-                t_prev = now
-                log.info(
-                    "step %d loss %.4f grad_norm %.3f | %.3f s/step %.0f tok/s",
-                    step_i,
-                    loss,
-                    float(metrics["grad_norm"]),
-                    dt,
-                    float(metrics["num_tokens"]) / dt,
-                )
-            if (step_i + 1) % training_args.save_steps == 0:
-                ckpt.save(step_i + 1, state, {"seed": training_args.seed, "batches_seen": step_i + 1})
-            if guard.triggered:
-                log.warning("preemption: checkpointing at step %d and exiting", step_i + 1)
-                preempted = True
-                break
-        if profiling:
-            jax.profiler.stop_trace()
-    guard.restore()
+                if first:
+                    smoke_test_batch(batch)
+                    first = False
+                if training_args.profile_dir and step_i == training_args.profile_start_step:
+                    jax.profiler.start_trace(training_args.profile_dir)
+                    profiling = True
+                state, metrics = step_fn(state, put(batch))
+                if profiling and step_i >= (
+                    training_args.profile_start_step + training_args.profile_num_steps - 1
+                ):
+                    jax.tree.map(
+                        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                        metrics,
+                    )
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log.info("wrote profiler trace to %s", training_args.profile_dir)
+                if step_i % training_args.logging_steps == 0:
+                    loss = float(metrics["loss"])  # device sync
+                    if not np.isfinite(loss):
+                        # non-finite guard: stop rather than burn steps on a
+                        # diverged model (reference has no such guard — SURVEY §5)
+                        log.error("non-finite loss %.3f at step %d; aborting", loss, step_i)
+                        history.append(loss)
+                        break
+                    history.append(loss)
+                    now = time.time()
+                    dt = max(now - t_prev, 1e-9) / max(training_args.logging_steps, 1)
+                    t_prev = now
+                    log.info(
+                        "step %d loss %.4f grad_norm %.3f | %.3f s/step %.0f tok/s",
+                        step_i,
+                        loss,
+                        float(metrics["grad_norm"]),
+                        dt,
+                        float(metrics["num_tokens"]) / dt,
+                    )
+                if (step_i + 1) % training_args.save_steps == 0:
+                    ckpt.save(step_i + 1, state, {"seed": training_args.seed, "batches_seen": step_i + 1})
+                if guard.triggered:
+                    log.warning("preemption: checkpointing at step %d and exiting", step_i + 1)
+                    preempted = True
+                    break
+            if profiling:
+                jax.profiler.stop_trace()
+    finally:
+        # never leak the signal handlers, even on exceptions
+        guard.restore()
 
     final_step = int(state.step)
     if final_step > start_step:

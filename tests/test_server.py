@@ -88,7 +88,9 @@ def test_server_stop_text_frees_slot(setup):
     )
     out = server.serve([Request(ids, audio) for ids, audio in reqs])
     assert all(r.done for r in out)
-    assert all(1 <= len(r.tokens) <= 8 for r in out)
+    # Generator semantics: the stop keyword is trimmed from the output —
+    # with a tokenizer whose every decode matches, everything trims away
+    assert all(len(r.tokens) == 0 for r in out)
 
 
 def test_server_rejects_oversized_prompt(setup):

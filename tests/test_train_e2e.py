@@ -184,7 +184,7 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     )
     proc = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True,
-        timeout=300, cwd=os.getcwd(),
+        timeout=300, cwd=os.getcwd(), env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "PREEMPTED True" in proc.stdout, proc.stdout + proc.stderr[-500:]
