@@ -101,17 +101,19 @@ class BatchedServer:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _insert_row(batch_cache, row_cache, slot):
-        """Splice a b=1 row cache into slot `slot` of the batched cache."""
+    def _insert_row(batch_cache, new_cache, src_row, dst_slot):
+        """Splice row `src_row` of a freshly-prefilled cache into slot
+        `dst_slot` of the persistent batched cache."""
 
         def upd(b, r):
             if b.ndim == 0:  # scalar index — decode uses per-row positions
                 return b
-            # cache leaves are [L, B, ...]; row is [L, 1, ...]
-            start = (0, slot) + (0,) * (b.ndim - 2)
-            return jax.lax.dynamic_update_slice(b, r.astype(b.dtype), start)
+            # cache leaves are [L, B, ...]
+            row = jax.lax.dynamic_slice_in_dim(r, src_row, 1, axis=1)
+            start = (0, dst_slot) + (0,) * (b.ndim - 2)
+            return jax.lax.dynamic_update_slice(b, row.astype(b.dtype), start)
 
-        return jax.tree.map(upd, batch_cache, row_cache)
+        return jax.tree.map(upd, batch_cache, new_cache)
 
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
@@ -125,31 +127,43 @@ class BatchedServer:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
     def _admit(self) -> None:
-        """Prefill queued requests into free slots."""
-        for slot in self._free_slots():
-            if not self._queue:
-                return
-            req = self._queue.pop(0)
-            n = len(req.input_ids)
-            bucket = self._bucket(n)
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, :n] = req.input_ids
-            if req.audio_encoding is not None:
-                t = min(req.audio_encoding.shape[0], self.max_audio_frames)
-                audio = np.zeros((1, self.max_audio_frames, self.cfg.mm_hidden_size), np.float32)
-                audio[0, :t] = req.audio_encoding[:t]
-                fcnt = np.array([t], np.int32)
-            else:
-                audio = np.zeros((1, 1, self.cfg.mm_hidden_size), np.float32)
-                fcnt = np.zeros((1,), np.int32)
-            logits, row_cache = self._prefill(
-                self.params, jnp.asarray(ids), jnp.array([n], jnp.int32),
+        """Prefill queued requests into free slots. Same-bucket requests at
+        the head of the queue are prefilled together in ONE batched call
+        (a burst of k arrivals costs one prefill, not k)."""
+        while self._queue and self._free_slots():
+            slots = self._free_slots()
+            head_bucket = self._bucket(len(self._queue[0].input_ids))
+            # FIFO group: consecutive head-of-queue requests in this bucket
+            group: List[Request] = []
+            while (
+                self._queue
+                and len(group) < len(slots)
+                and self._bucket(len(self._queue[0].input_ids)) == head_bucket
+            ):
+                group.append(self._queue.pop(0))
+            # fixed admission batch (pad with plen=1 dummies): one prefill
+            # program per bucket, independent of how many requests arrived
+            k = self.max_batch
+            ids = np.zeros((k, head_bucket), np.int32)
+            plens = np.ones((k,), np.int32)
+            audio = np.zeros((k, self.max_audio_frames, self.cfg.mm_hidden_size), np.float32)
+            fcnt = np.zeros((k,), np.int32)
+            for j, req in enumerate(group):
+                n = len(req.input_ids)
+                ids[j, :n] = req.input_ids
+                plens[j] = n
+                if req.audio_encoding is not None:
+                    t = min(req.audio_encoding.shape[0], self.max_audio_frames)
+                    audio[j, :t] = req.audio_encoding[:t]
+                    fcnt[j] = t
+            logits, new_cache = self._prefill(
+                self.params, jnp.asarray(ids), jnp.asarray(plens),
                 jnp.asarray(audio), jnp.asarray(fcnt),
             )
             self._rng, sub = jax.random.split(self._rng)
             from llark_tpu.generate import _sample
 
-            first = int(jax.device_get(_sample(logits, self.gen_cfg, sub))[0])
+            firsts = np.asarray(jax.device_get(_sample(logits, self.gen_cfg, sub)))
             if self._cache is None:
                 # build the persistent batched cache from the row structure
                 self._cache = jax.tree.map(
@@ -157,15 +171,18 @@ class BatchedServer:
                         r if r.ndim == 0
                         else jnp.zeros((r.shape[0], self.max_batch) + r.shape[2:], r.dtype)
                     ),
-                    row_cache,
+                    new_cache,
                 )
-            self._cache = self._insert(self._cache, row_cache, slot)
-            req.first_token_at = time.time()
-            self._slot_req[slot] = req
-            self._write_pos[slot] = n
-            self._tokens_in_flight[slot] = first
-            if self._absorb(slot, first):  # first token may already be EOS
-                self._finish(slot)
+            now = time.time()
+            for j, req in enumerate(group):
+                slot = slots[j]
+                self._cache = self._insert(self._cache, new_cache, j, slot)
+                req.first_token_at = now
+                self._slot_req[slot] = req
+                self._write_pos[slot] = plens[j]
+                self._tokens_in_flight[slot] = int(firsts[j])
+                if self._absorb(slot, int(firsts[j])):  # may already be EOS
+                    self._finish(slot)
 
     def _absorb(self, slot: int, t: int) -> bool:
         """Mirror of Generator.generate's per-token absorb (generate.py):
