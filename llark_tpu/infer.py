@@ -110,3 +110,59 @@ def batch_infer(
             }
         )
     return results
+
+
+def batch_infer_continuous(
+    rows: Sequence[Dict],
+    cfg,
+    params,
+    bundle: TokenizerBundle,
+    *,
+    gen_cfg=None,
+    max_batch: int = 4,
+    max_cache_len: int = 2048,
+    prompt_buckets=(128, 512),
+    max_audio_frames: int = 256,
+    prompt_override: Optional[str] = None,
+) -> List[Dict]:
+    """batch_infer through the continuous-batching engine
+    (llark_tpu/inference/server.py): all rows stream through `max_batch`
+    decode slots instead of generating one at a time. Same CSV-ready output
+    contract as batch_infer."""
+    from llark_tpu.generate import GenerationConfig
+    from llark_tpu.inference.server import BatchedServer, Request
+
+    server = BatchedServer(
+        cfg,
+        params,
+        bundle.audio_patch_id,
+        gen_cfg or GenerationConfig(),
+        max_batch=max_batch,
+        max_cache_len=max_cache_len,
+        prompt_buckets=prompt_buckets,
+        max_audio_frames=max_audio_frames,
+        tokenizer=bundle.tokenizer,
+    )
+    requests: List[Request] = []
+    prompts: List[str] = []
+    for row in rows:
+        prompt = prompt_override or row.get("prompt") or "Describe the audio."
+        enc = np.asarray(row["audio_encoding"], np.float32)
+        if enc.ndim == 3 and enc.shape[0] == 1:
+            enc = enc[0]
+        enc = enc[:max_audio_frames]
+        ids = build_prompt_ids(prompt, enc.shape[0], bundle, audio_first=True)
+        requests.append(Request(np.asarray(ids, np.int32), enc))
+        prompts.append(prompt)
+    server.serve(requests)
+    return [
+        {
+            "example_id": row.get("example_id", ""),
+            "prompt": prompt,
+            "response": row.get("response", ""),
+            "model_completion": bundle.decode(
+                req.tokens, skip_special_tokens=True
+            ).strip(),
+        }
+        for row, prompt, req in zip(rows, prompts, requests)
+    ]

@@ -57,18 +57,36 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max-cache-len", type=int, default=2048)
     p.add_argument("--max-audio-frames", type=int, default=None)
+    p.add_argument("--continuous-batching", type=int, default=0, metavar="SLOTS",
+                   help="serve through the continuous-batching engine with "
+                        "SLOTS decode slots (0 = one-at-a-time Generator)")
     args = p.parse_args(argv)
 
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
-    gen = load_generator(args, bundle, cfg, params)
     urls = expand_url_to_file_list(args.input)
     rows = list(iter_eval_rows(urls, args.max_samples))
     log.info("running inference over %d rows", len(rows))
-    results = batch_infer(
-        rows, gen, bundle,
-        prompt_override=args.prompt,
-        max_audio_frames=args.max_audio_frames,
-    )
+    if args.continuous_batching:
+        from llark_tpu.generate import GenerationConfig
+        from llark_tpu.infer import batch_infer_continuous
+
+        results = batch_infer_continuous(
+            rows, cfg, params, bundle,
+            gen_cfg=GenerationConfig(max_new_tokens=args.max_new_tokens,
+                                     temperature=args.temperature,
+                                     stop_text="###"),
+            max_batch=args.continuous_batching,
+            max_cache_len=args.max_cache_len,
+            max_audio_frames=args.max_audio_frames or 256,
+            prompt_override=args.prompt,
+        )
+    else:
+        gen = load_generator(args, bundle, cfg, params)
+        results = batch_infer(
+            rows, gen, bundle,
+            prompt_override=args.prompt,
+            max_audio_frames=args.max_audio_frames,
+        )
     write_results_csv(args.output, results)
     print(f"wrote {len(results)} rows to {args.output}")
 

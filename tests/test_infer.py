@@ -139,3 +139,27 @@ def test_infer_from_encodings_cli(trained_ckpt, tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 2
     assert rows[0]["example_id"] == "clip0"
+
+
+def test_infer_from_webdataset_cli_continuous_batching(trained_ckpt, tmp_path):
+    """--continuous-batching produces the same greedy completions as the
+    one-at-a-time path."""
+    from llark_tpu.inference.from_webdataset import main
+
+    common = [
+        "--checkpoint-dir", str(trained_ckpt / "ckpt"),
+        "--input", str(trained_ckpt / "mir-train-00000.tar"),
+        "--max-samples", "3",
+        "--max-new-tokens", "4",
+        "--max-cache-len", "256",
+    ]
+    a_csv, b_csv = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    main(common + ["--output", a_csv])
+    main(common + ["--output", b_csv, "--continuous-batching", "2"])
+    with open(a_csv) as f:
+        a = list(csv.DictReader(f))
+    with open(b_csv) as f:
+        b = list(csv.DictReader(f))
+    assert len(b) == 3
+    assert [r["example_id"] for r in a] == [r["example_id"] for r in b]
+    assert [r["model_completion"] for r in a] == [r["model_completion"] for r in b]
