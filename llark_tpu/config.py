@@ -245,6 +245,12 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type) -> None:
             )
         elif str(f.type) in ("int", "float", "str"):
             parser.add_argument(name, type=eval(str(f.type)), default=default)  # noqa: S307
+        elif "Tuple[int" in str(f.type):
+            parser.add_argument(
+                name,
+                type=lambda s: tuple(int(x) for x in s.replace(",", " ").split()),
+                default=default,
+            )
         else:
             parser.add_argument(name, type=json.loads if "Dict" in str(f.type) else str,
                                 default=default)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import re
+import zlib
 from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -62,7 +63,8 @@ def bag_of_words_embedder(texts: Sequence[str]) -> np.ndarray:
     out = np.zeros((len(texts), dim), np.float32)
     for i, t in enumerate(texts):
         for w in re.findall(r"[a-z]+", (t or "").lower()):
-            out[i, hash(w) % dim] += 1.0
+            # stable across processes (builtin hash() is PYTHONHASHSEED-randomized)
+            out[i, zlib.crc32(w.encode()) % dim] += 1.0
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     return out / np.maximum(norms, 1e-9)
 

@@ -38,6 +38,7 @@ class GenerationConfig:
     max_new_tokens: int = 256
     temperature: float = 0.0  # 0 => greedy
     top_p: float = 1.0
+    top_k: int = 0  # 0 => disabled
     eos_token_id: Optional[int] = None
     stop_text: str = "###"  # reference keyword stop
     decode_chunk: int = 8  # tokens per jitted scan chunk (1 host sync/chunk)
@@ -48,6 +49,9 @@ def _sample(logits: jnp.ndarray, cfg: GenerationConfig, key: jax.Array) -> jnp.n
     if cfg.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / cfg.temperature
+    if cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     if cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)

@@ -19,17 +19,63 @@ def write_results_csv(path: str, rows: Sequence[Dict]) -> None:
             w.writerow({k: r.get(k, "") for k in fields})
 
 
+def add_generation_args(p) -> None:
+    """Generation flags shared by the batch-inference CLIs."""
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--max-cache-len", type=int, default=2048)
+    p.add_argument(
+        "--speculative",
+        choices=("off", "ngram", "draft"),
+        default="off",
+        help="speculative decoding: 'ngram' = prompt-lookup drafting (no extra "
+        "weights), 'draft' = a small draft checkpoint (--draft-checkpoint-dir)",
+    )
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculative draft length per verify round")
+    p.add_argument("--draft-checkpoint-dir", default=None)
+    p.add_argument("--draft-ckpt-num", type=int, default=None)
+
+
 def load_generator(args, bundle, cfg, params):
     from llark_tpu.generate import GenerationConfig, Generator
 
+    gen_cfg = GenerationConfig(
+        max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        top_p=getattr(args, "top_p", 1.0),
+        top_k=getattr(args, "top_k", 0),
+        stop_text="###",
+    )
+    speculative = getattr(args, "speculative", "off")
+    if speculative != "off":
+        from llark_tpu.inference.speculative import SpeculativeGenerator
+
+        draft_cfg = draft_params = None
+        if speculative == "draft":
+            if not args.draft_checkpoint_dir:
+                raise SystemExit("--speculative draft requires --draft-checkpoint-dir")
+            from llark_tpu.models.utils import load_pretrained_model
+
+            draft_cfg, draft_params, _ = load_pretrained_model(
+                args.draft_checkpoint_dir, args.draft_ckpt_num
+            )
+        return SpeculativeGenerator(
+            cfg,
+            params,
+            audio_patch_id=bundle.audio_patch_id,
+            gen_cfg=gen_cfg,
+            max_cache_len=args.max_cache_len,
+            draft_cfg=draft_cfg,
+            draft_params=draft_params,
+            gamma=args.gamma,
+        )
     return Generator(
         cfg,
         params,
         audio_patch_id=bundle.audio_patch_id,
-        gen_cfg=GenerationConfig(
-            max_new_tokens=args.max_new_tokens,
-            temperature=args.temperature,
-            stop_text="###",
-        ),
+        gen_cfg=gen_cfg,
         max_cache_len=args.max_cache_len,
     )

@@ -16,7 +16,11 @@ import os
 import numpy as np
 
 from llark_tpu.infer import batch_infer
-from llark_tpu.inference.common import load_generator, write_results_csv
+from llark_tpu.inference.common import (
+    add_generation_args,
+    load_generator,
+    write_results_csv,
+)
 from llark_tpu.models.utils import load_pretrained_model
 
 
@@ -28,9 +32,7 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--prompt", default="Describe the audio.")
     p.add_argument("--max-samples", type=int, default=None)
-    p.add_argument("--max-new-tokens", type=int, default=256)
-    p.add_argument("--temperature", type=float, default=0.0)
-    p.add_argument("--max-cache-len", type=int, default=2048)
+    add_generation_args(p)
     p.add_argument("--max-audio-frames", type=int, default=None)
     p.add_argument("--continuous-batching", type=int, default=0, metavar="SLOTS",
                    help="serve through the continuous-batching engine with SLOTS decode slots (0 = one-at-a-time Generator)")

@@ -17,7 +17,11 @@ import numpy as np
 from llark_tpu.data.shards import expand_url_to_file_list
 from llark_tpu.data.webdataset import TarShardReader
 from llark_tpu.infer import batch_infer
-from llark_tpu.inference.common import load_generator, write_results_csv
+from llark_tpu.inference.common import (
+    add_generation_args,
+    load_generator,
+    write_results_csv,
+)
 from llark_tpu.models.utils import load_pretrained_model
 
 log = logging.getLogger(__name__)
@@ -53,9 +57,7 @@ def main(argv=None):
     p.add_argument("--output", required=True, help="output csv path")
     p.add_argument("--prompt", default=None, help="override prompt for all rows")
     p.add_argument("--max-samples", type=int, default=None)
-    p.add_argument("--max-new-tokens", type=int, default=256)
-    p.add_argument("--temperature", type=float, default=0.0)
-    p.add_argument("--max-cache-len", type=int, default=2048)
+    add_generation_args(p)
     p.add_argument("--max-audio-frames", type=int, default=None)
     p.add_argument("--continuous-batching", type=int, default=0, metavar="SLOTS",
                    help="serve through the continuous-batching engine with "

@@ -1,0 +1,337 @@
+"""Speculative decoding: draft-and-verify generation on TPU.
+
+Beyond-reference serving feature (the reference serves strictly one token
+per forward via HF `model.generate`, m2t/infer.py:146-152). Single-stream
+decode on TPU is HBM-bandwidth-bound: every emitted token pays one full
+read of the weights. Verifying G draft tokens in ONE decode forward reads
+the weights once for up to G+1 emitted tokens, so acceptance rate maps
+directly to a speedup of the bandwidth-bound hot loop.
+
+Two draft sources:
+
+  * model draft — a small decoder (e.g. the MPT-1B ablation architecture)
+    proposes `gamma` greedy tokens per round from its own KV cache;
+  * n-gram draft ("prompt lookup") — no weights needed: propose the
+    continuation of the most recent earlier occurrence of the current
+    k-gram tail in (prompt + generated) tokens. Music QA transcripts
+    repeat vocabulary heavily, so this is surprisingly effective.
+
+Verification is "sample-and-match": at each of the G+1 positions the
+TARGET model's token is sampled (argmax when temperature=0); proposals
+are accepted while they equal the target's token, and the first
+mismatching position emits the target's token. Every emitted token is
+therefore drawn exactly from the target distribution — greedy speculative
+output is token-identical to plain greedy decode (tested). Compared to
+ratio-based rejection sampling this trades a little acceptance length for
+not needing draft probabilities on the host.
+
+Numerics caveat: "token-identical to plain greedy" holds when matmul
+accumulation is deterministic across graph shapes (fp32 params, or
+`jax.default_matmul_precision("highest")`). Under TPU's default bf16
+matmul passes, the (gamma+1)-token verify forward and the 1-token decode
+forward can round differently and flip a near-tie argmax — the output is
+still a valid sample from (numerically perturbed) target logits, the same
+caveat every bf16 speculative-decoding implementation carries.
+
+Cache-consistency notes (why rollback is free):
+  * the decoder's ragged decode path (models/decoder.py `cache_positions`)
+    writes row i's S tokens at [pos_i, pos_i+S) and masks attention to
+    [0, pos_i + local position], so rejected-token KV entries are simply
+    overwritten by the next round's writes and never attended to;
+  * re-feeding an already-consumed token at its original position rewrites
+    the identical K/V values (deterministic forward), which keeps the
+    fixed [last_token, proposals...] input shape legal every round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import GenerationConfig, _sample, make_prefill_fn
+from llark_tpu.models import decoder as decoder_lib
+
+
+def ngram_propose(
+    history: Sequence[int], gamma: int, max_k: int = 3
+) -> List[int]:
+    """Prompt-lookup draft: continuation of the most recent earlier
+    occurrence of the longest matching tail k-gram (k = max_k..1).
+    Falls back to repeating the last token; wrong proposals only cost
+    acceptance, never correctness."""
+    h = np.asarray(history, np.int64)
+    n = len(h)
+    for k in range(min(max_k, n - 1), 0, -1):
+        tail = h[n - k :]
+        windows = np.lib.stride_tricks.sliding_window_view(h, k)  # [n-k+1, k]
+        hits = np.flatnonzero(np.all(windows[:-1] == tail, axis=1))
+        if hits.size:
+            start = int(hits[-1]) + k
+            out = list(map(int, h[start : start + gamma]))
+            while len(out) < gamma:
+                out.append(int(h[-1]))
+            return out
+    return [int(h[-1])] * gamma
+
+
+def _make_verify_fn(cfg: ModelConfig, gen_cfg: GenerationConfig, gamma: int):
+    """Jitted target verification over [last_token, d_1..d_gamma].
+
+    Returns (target_tokens [B, gamma+1], n_emit [B], cache):
+      target_tokens[:, j] is the target's sampled token after consuming
+      input position j; rows emit target_tokens[:, :n_emit] this round
+      (n_emit = accepted proposals + 1, in [1, gamma+1]).
+    """
+
+    def verify(params, tokens_in, proposals, cache, write_positions, rng):
+        # tokens_in [B, gamma+1]; proposals [B, gamma]; write_positions [B]
+        embeds = decoder_lib.embed_tokens(cfg, params, tokens_in)
+        logits, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=embeds,
+            kv_cache=cache,
+            cache_positions=write_positions,
+        )  # [B, gamma+1, V]
+        b, g1, v = logits.shape
+        keys = jax.random.split(rng, g1)
+        target_toks = jnp.stack(
+            [_sample(logits[:, j, :], gen_cfg, keys[j]) for j in range(g1)],
+            axis=1,
+        )  # [B, gamma+1]
+        matches = (proposals == target_toks[:, :gamma]).astype(jnp.int32)
+        accepted = jnp.cumprod(matches, axis=1)  # [B, gamma]
+        n_emit = jnp.sum(accepted, axis=1) + 1  # [B] in [1, gamma+1]
+        return target_toks, n_emit, cache
+
+    return verify
+
+
+def _make_draft_propose_fn(cfg: ModelConfig, gamma: int):
+    """Jitted draft proposer: consume the last 2 emitted tokens (the
+    second is always new to the draft; the first is an idempotent rewrite)
+    then roll gamma greedy single-token steps."""
+    greedy = GenerationConfig(temperature=0.0)
+
+    def propose(params, last2, cache, positions2, rng):
+        # last2 [B, 2] at cache positions [positions2, positions2+1]
+        embeds = decoder_lib.embed_tokens(cfg, params, last2)
+        logits, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=embeds,
+            kv_cache=cache,
+            cache_positions=positions2,
+        )
+        token = _sample(logits[:, -1, :], greedy, rng)
+
+        def body(carry, _):
+            tok, cache, pos = carry
+            embeds = decoder_lib.embed_tokens(cfg, params, tok[:, None])
+            logits, cache = decoder_lib.decoder_forward(
+                cfg,
+                params,
+                inputs_embeds=embeds,
+                kv_cache=cache,
+                cache_positions=pos,
+            )
+            nxt = _sample(logits[:, 0, :], greedy, rng)
+            return (nxt, cache, pos + 1), tok
+
+        (_, cache, _), toks = jax.lax.scan(
+            body, (token, cache, positions2 + 2), None, length=gamma
+        )
+        return toks.T, cache  # [B, gamma]
+
+    return propose
+
+
+class SpeculativeGenerator:
+    """Drop-in alternative to `generate.Generator` with draft-and-verify
+    decoding. Greedy output is token-identical to `Generator.generate`;
+    sampled output is distribution-identical (sample-and-match).
+
+    draft_cfg/draft_params absent => n-gram prompt-lookup drafting.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        audio_patch_id: int,
+        gen_cfg: Optional[GenerationConfig] = None,
+        max_cache_len: int = 2048,
+        draft_cfg: Optional[ModelConfig] = None,
+        draft_params=None,
+        gamma: int = 4,
+        ngram_max_k: int = 3,
+    ):
+        if (draft_cfg is None) != (draft_params is None):
+            raise ValueError("draft_cfg and draft_params must be given together")
+        self.cfg = cfg
+        self.params = params
+        self.gen_cfg = gen_cfg or GenerationConfig()
+        self.audio_patch_id = audio_patch_id
+        self.max_cache_len = max_cache_len
+        self.gamma = int(gamma)
+        self.ngram_max_k = int(ngram_max_k)
+        if self.gamma < 1:
+            raise ValueError("gamma must be >= 1")
+        self.draft_cfg = draft_cfg
+        self.draft_params = draft_params
+
+        self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
+        self._verify = jax.jit(_make_verify_fn(cfg, self.gen_cfg, self.gamma))
+        if draft_cfg is not None:
+            self._draft_prefill = jax.jit(
+                make_prefill_fn(draft_cfg, audio_patch_id, max_cache_len)
+            )
+            self._draft_propose = jax.jit(_make_draft_propose_fn(draft_cfg, self.gamma))
+
+    # -- drafting ----------------------------------------------------------
+
+    def _propose(
+        self,
+        histories: List[List[int]],
+        draft_cache,
+        positions2: np.ndarray,
+        rng,
+    ) -> Tuple[np.ndarray, Any]:
+        b = len(histories)
+        if self.draft_cfg is None:
+            props = np.stack(
+                [
+                    np.asarray(
+                        ngram_propose(h, self.gamma, self.ngram_max_k), np.int32
+                    )
+                    for h in histories
+                ]
+            )
+            return props, draft_cache
+        last2 = np.stack([h[-2:] for h in histories]).astype(np.int32)
+        props, draft_cache = self._draft_propose(
+            self.draft_params,
+            jnp.asarray(last2),
+            draft_cache,
+            jnp.asarray(positions2, jnp.int32),
+            rng,
+        )
+        return np.asarray(jax.device_get(props)), draft_cache
+
+    # -- main loop ---------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # [B, S] right-padded
+        prompt_lengths: np.ndarray,  # [B]
+        audio_encodings: Optional[np.ndarray] = None,
+        audio_frame_counts: Optional[np.ndarray] = None,
+        tokenizer=None,
+        rng: Optional[jax.Array] = None,
+    ) -> List[List[int]]:
+        gen_cfg = self.gen_cfg
+        b, s = input_ids.shape
+        if s + gen_cfg.max_new_tokens + self.gamma > self.max_cache_len:
+            raise ValueError(
+                "prompt + max_new_tokens + gamma exceeds cache length"
+            )
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if audio_encodings is None:
+            audio_encodings = np.zeros((b, 1, self.cfg.mm_hidden_size), np.float32)
+            audio_frame_counts = np.zeros((b,), np.int32)
+        if audio_frame_counts is None:
+            audio_frame_counts = np.full((b,), audio_encodings.shape[1], np.int32)
+
+        prompt_lengths = np.asarray(prompt_lengths, np.int32)
+        plens = jnp.asarray(prompt_lengths)
+        rng, sub = jax.random.split(rng)
+        logits, cache = self._prefill(
+            self.params,
+            jnp.asarray(input_ids),
+            plens,
+            jnp.asarray(audio_encodings),
+            jnp.asarray(audio_frame_counts),
+        )
+        first = np.asarray(jax.device_get(_sample(logits, gen_cfg, sub)))
+
+        draft_cache = None
+        if self.draft_cfg is not None:
+            _, draft_cache = self._draft_prefill(
+                self.draft_params,
+                jnp.asarray(input_ids),
+                plens,
+                jnp.asarray(audio_encodings),
+                jnp.asarray(audio_frame_counts),
+            )
+
+        # host-side state: full per-row token history (prompt + emitted)
+        histories: List[List[int]] = [
+            list(map(int, input_ids[i, : prompt_lengths[i]])) for i in range(b)
+        ]
+        done = np.zeros((b,), bool)
+        out: List[List[int]] = [[] for _ in range(b)]
+        emitted = np.zeros((b,), np.int64)
+        eos, stop_text = gen_cfg.eos_token_id, gen_cfg.stop_text
+
+        def absorb_one(i: int, t: int) -> None:
+            if done[i]:
+                return
+            if eos is not None and t == eos:
+                done[i] = True
+                return
+            out[i].append(t)
+            histories[i].append(t)
+            emitted[i] += 1
+            if emitted[i] >= gen_cfg.max_new_tokens:
+                done[i] = True
+            elif stop_text and tokenizer is not None:
+                if stop_text in tokenizer.decode(out[i][-8:]):
+                    done[i] = True
+
+        for i in range(b):
+            absorb_one(i, int(first[i]))
+
+        rounds_accepted = 0
+        rounds_proposed = 0
+        while not done.all():
+            # positions: row i's last emitted token sits at prompt_len+emitted-1
+            write_pos = prompt_lengths + emitted.astype(np.int32) - 1
+            rng, r_draft, r_verify = jax.random.split(rng, 3)
+            proposals, draft_cache = self._propose(
+                histories, draft_cache, write_pos - 1, r_draft
+            )
+            last_tok = np.asarray([h[-1] for h in histories], np.int32)
+            tokens_in = np.concatenate([last_tok[:, None], proposals], axis=1)
+            target_toks, n_emit, cache = self._verify(
+                self.params,
+                jnp.asarray(tokens_in),
+                jnp.asarray(proposals),
+                cache,
+                jnp.asarray(write_pos, jnp.int32),
+                r_verify,
+            )
+            target_toks = np.asarray(jax.device_get(target_toks))
+            n_emit = np.asarray(jax.device_get(n_emit))
+            for i in range(b):
+                if done[i]:
+                    continue
+                for j in range(int(n_emit[i])):
+                    absorb_one(i, int(target_toks[i, j]))
+                    if done[i]:
+                        break
+                rounds_accepted += int(n_emit[i]) - 1
+                rounds_proposed += self.gamma
+
+        self.last_acceptance_rate = (
+            rounds_accepted / rounds_proposed if rounds_proposed else 0.0
+        )
+        if stop_text and tokenizer is not None:
+            from llark_tpu.generate import Generator
+
+            out = [Generator._trim_stop(ids, tokenizer, stop_text) for ids in out]
+        return out

@@ -112,3 +112,19 @@ def test_generate_eos_stop():
     )
     out = gen.generate(ids, np.array([4], np.int32))[0]
     assert out == []  # first token was EOS -> empty completion
+
+
+def test_top_k_sampling_restricts_support():
+    """top_k masks everything outside the k highest logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from llark_tpu.generate import GenerationConfig, _sample
+
+    logits = jnp.asarray([[0.0, 5.0, 4.0, -1.0, 3.0]])
+    cfg = GenerationConfig(temperature=1.0, top_k=2)
+    seen = {
+        int(_sample(logits, cfg, jax.random.PRNGKey(i))[0]) for i in range(50)
+    }
+    assert seen <= {1, 2}
+    assert len(seen) == 2  # both survivors actually reachable

@@ -163,3 +163,25 @@ def test_infer_from_webdataset_cli_continuous_batching(trained_ckpt, tmp_path):
     assert len(b) == 3
     assert [r["example_id"] for r in a] == [r["example_id"] for r in b]
     assert [r["model_completion"] for r in a] == [r["model_completion"] for r in b]
+
+
+def test_infer_from_webdataset_cli_speculative(trained_ckpt, tmp_path):
+    """--speculative ngram produces the same greedy completions as the
+    plain Generator path (token-exact draft-and-verify)."""
+    from llark_tpu.inference.from_webdataset import main
+
+    common = [
+        "--checkpoint-dir", str(trained_ckpt / "ckpt"),
+        "--input", str(trained_ckpt / "mir-train-00000.tar"),
+        "--max-samples", "3",
+        "--max-new-tokens", "6",
+        "--max-cache-len", "256",
+    ]
+    a_csv, b_csv = str(tmp_path / "sa.csv"), str(tmp_path / "sb.csv")
+    main(common + ["--output", a_csv])
+    main(common + ["--output", b_csv, "--speculative", "ngram", "--gamma", "3"])
+    with open(a_csv) as f:
+        a = list(csv.DictReader(f))
+    with open(b_csv) as f:
+        b = list(csv.DictReader(f))
+    assert [r["model_completion"] for r in a] == [r["model_completion"] for r in b]

@@ -1,0 +1,137 @@
+"""Speculative decoding: token-exactness vs plain greedy decode."""
+
+import jax
+import numpy as np
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import GenerationConfig, Generator
+from llark_tpu.inference.speculative import SpeculativeGenerator, ngram_propose
+from llark_tpu.models.fusion import init_llark_params
+
+PATCH_ID = 7
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    T = 3
+    audio = rng.randn(2, T, cfg.mm_hidden_size).astype(np.float32)
+    prompts = [
+        [9, 1, PATCH_ID, PATCH_ID, PATCH_ID, 4, 5],
+        [9, PATCH_ID, PATCH_ID, PATCH_ID, 11],
+    ]
+    S = 8
+    input_ids = np.zeros((len(prompts), S), np.int32)
+    lengths = np.zeros((len(prompts),), np.int32)
+    for i, p in enumerate(prompts):
+        input_ids[i, : len(p)] = p
+        lengths[i] = len(p)
+    return input_ids, lengths, audio, np.full((len(prompts),), T, np.int32)
+
+
+def test_ngram_propose():
+    # tail [4,5] previously occurred at index 1 -> continuation [6,7,8]
+    assert ngram_propose([0, 4, 5, 6, 7, 8, 4, 5], 3) == [6, 7, 8]
+    # no repeat: falls back to repeating the last token
+    assert ngram_propose([1, 2, 3], 2) == [3, 3]
+    # continuation shorter than gamma: padded with the last history token
+    assert ngram_propose([4, 5, 9, 4, 5], 3) == [9, 4, 5]
+
+
+def test_ngram_speculative_matches_greedy():
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    input_ids, lengths, audio, counts = _batch(cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=12, stop_text="")
+
+    ref = Generator(cfg, params, PATCH_ID, gen_cfg, max_cache_len=64).generate(
+        input_ids, lengths, audio, counts
+    )
+    for gamma in (1, 3, 5):
+        spec = SpeculativeGenerator(
+            cfg, params, PATCH_ID, gen_cfg, max_cache_len=64, gamma=gamma
+        )
+        out = spec.generate(input_ids, lengths, audio, counts)
+        assert out == ref, f"gamma={gamma}"
+
+
+def test_self_draft_full_acceptance():
+    """Draft == target: every proposal accepted, output still exact."""
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    input_ids, lengths, audio, counts = _batch(cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=13, stop_text="")
+
+    ref = Generator(cfg, params, PATCH_ID, gen_cfg, max_cache_len=64).generate(
+        input_ids, lengths, audio, counts
+    )
+    spec = SpeculativeGenerator(
+        cfg,
+        params,
+        PATCH_ID,
+        gen_cfg,
+        max_cache_len=64,
+        draft_cfg=cfg,
+        draft_params=params,
+        gamma=4,
+    )
+    out = spec.generate(input_ids, lengths, audio, counts)
+    assert out == ref
+    assert spec.last_acceptance_rate == 1.0
+
+
+def test_model_draft_different_weights_exact():
+    """A *wrong* draft must not change the output, only the acceptance."""
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    draft_params = init_llark_params(cfg, jax.random.PRNGKey(99))
+    input_ids, lengths, audio, counts = _batch(cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=10, stop_text="")
+
+    ref = Generator(cfg, params, PATCH_ID, gen_cfg, max_cache_len=64).generate(
+        input_ids, lengths, audio, counts
+    )
+    spec = SpeculativeGenerator(
+        cfg,
+        params,
+        PATCH_ID,
+        gen_cfg,
+        max_cache_len=64,
+        draft_cfg=cfg,
+        draft_params=draft_params,
+        gamma=3,
+    )
+    out = spec.generate(input_ids, lengths, audio, counts)
+    assert out == ref
+    assert 0.0 <= spec.last_acceptance_rate <= 1.0
+
+
+def test_speculative_eos_stop():
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    input_ids, lengths, audio, counts = _batch(cfg)
+    base = GenerationConfig(max_new_tokens=12, stop_text="")
+    ref = Generator(cfg, params, PATCH_ID, base, max_cache_len=64).generate(
+        input_ids, lengths, audio, counts
+    )
+    # pick row 0's 4th token as a fake EOS: generation must cut there
+    eos = ref[0][3]
+    gen_cfg = GenerationConfig(max_new_tokens=12, stop_text="", eos_token_id=eos)
+    spec = SpeculativeGenerator(
+        cfg, params, PATCH_ID, gen_cfg, max_cache_len=64, gamma=4
+    )
+    out = spec.generate(input_ids, lengths, audio, counts)
+    for row, full in zip(out, ref):
+        stop = full.index(eos) if eos in full else len(full)
+        assert row == full[:stop]
+
+
+def test_speculative_sampling_runs():
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    input_ids, lengths, audio, counts = _batch(cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=8, stop_text="", temperature=1.0)
+    spec = SpeculativeGenerator(
+        cfg, params, PATCH_ID, gen_cfg, max_cache_len=64, gamma=3
+    )
+    out = spec.generate(input_ids, lengths, audio, counts)
+    assert all(len(row) == 8 for row in out)
