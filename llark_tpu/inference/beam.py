@@ -7,8 +7,10 @@ equivalent: beams ride the batch axis ([B*K] rows of one KV cache), each
 step is ONE jitted decode + in-graph `lax.top_k` over [B, K*V] joint
 scores, and the cache "reorder" is a batch-axis gather by parent index —
 the dynamic `past_key_values` index_select becomes a static-shape gather
-XLA can fuse. Only two [B, K] integer arrays leave the device per step;
-sequences are rebuilt on the host from parent backpointers.
+XLA can fuse. Per step, two [B, K] integer arrays (token, parent) leave
+the device; liveness is mirrored on the host from those same arrays so
+the early-exit check costs no extra device sync. Sequences are rebuilt on
+the host from parent backpointers.
 
 Finished beams stay in the pool with frozen scores by proposing exactly
 one zero-logprob continuation (their own pad), the standard trick that
@@ -92,7 +94,7 @@ class BeamSearcher:
         self.audio_patch_id = audio_patch_id
         self.max_cache_len = max_cache_len
         self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
-        self._step = None  # jitted lazily: needs the tokenizer's eos id
+        self._steps: dict = {}  # eos id -> jitted step (eos is baked into the graph)
 
     def generate(
         self,
@@ -115,8 +117,10 @@ class BeamSearcher:
             eos = getattr(tokenizer, "eos_token_id", None)
         if eos is None:
             eos = -1  # sentinel: matches no real token, beams never finish early
-        if self._step is None:
-            self._step = jax.jit(_make_beam_step_fn(self.cfg, k, int(eos)))
+        eos = int(eos)
+        if eos not in self._steps:
+            self._steps[eos] = jax.jit(_make_beam_step_fn(self.cfg, k, eos))
+        step_fn = self._steps[eos]
 
         if audio_encodings is None:
             audio_encodings = np.zeros((b, 1, self.cfg.mm_hidden_size), np.float32)
@@ -145,19 +149,22 @@ class BeamSearcher:
         scores = jnp.asarray(scores)
 
         tok_np = np.asarray(jax.device_get(tokens))
+        alive_np = tok_np != eos  # host mirror: no extra device sync per step
         steps_tok: List[np.ndarray] = [tok_np]  # [B, K] per step
         steps_parent: List[np.ndarray] = []  # parent of step t>=1 choices
         write_pos = jnp.asarray(prompt_lengths)
 
         for t in range(1, bc.max_new_tokens):
-            alive_np = np.asarray(jax.device_get(alive))
             if not alive_np.any():
                 break
-            tokens, parent, scores, alive, cache = self._step(
+            tokens, parent, scores, alive, cache = step_fn(
                 self.params, tokens, cache, write_pos + (t - 1), scores, alive
             )
-            steps_tok.append(np.asarray(jax.device_get(tokens)))
-            steps_parent.append(np.asarray(jax.device_get(parent)))
+            tok_np = np.asarray(jax.device_get(tokens))
+            parent_np = np.asarray(jax.device_get(parent))
+            alive_np = np.take_along_axis(alive_np, parent_np, axis=1) & (tok_np != eos)
+            steps_tok.append(tok_np)
+            steps_parent.append(parent_np)
 
         scores_np = np.asarray(jax.device_get(scores))  # [B, K]
 

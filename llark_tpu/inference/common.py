@@ -39,16 +39,34 @@ def add_generation_args(p) -> None:
     p.add_argument("--draft-ckpt-num", type=int, default=None)
 
 
-def load_generator(args, bundle, cfg, params):
-    from llark_tpu.generate import GenerationConfig, Generator
+def make_gen_cfg(args):
+    """One GenerationConfig from the shared flags — used by both the
+    one-at-a-time and the continuous-batching serving paths so sampling
+    flags behave identically."""
+    from llark_tpu.generate import GenerationConfig
 
-    gen_cfg = GenerationConfig(
+    return GenerationConfig(
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
         top_p=getattr(args, "top_p", 1.0),
         top_k=getattr(args, "top_k", 0),
         stop_text="###",
     )
+
+
+def check_serving_args(args) -> None:
+    """Reject flag combinations that would otherwise be silently ignored."""
+    if getattr(args, "continuous_batching", 0) and getattr(args, "speculative", "off") != "off":
+        raise SystemExit(
+            "--speculative is not supported with --continuous-batching "
+            "(the batched server amortizes the weight read across slots already)"
+        )
+
+
+def load_generator(args, bundle, cfg, params):
+    from llark_tpu.generate import Generator
+
+    gen_cfg = make_gen_cfg(args)
     speculative = getattr(args, "speculative", "off")
     if speculative != "off":
         from llark_tpu.inference.speculative import SpeculativeGenerator

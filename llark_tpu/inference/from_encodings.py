@@ -18,7 +18,9 @@ import numpy as np
 from llark_tpu.infer import batch_infer
 from llark_tpu.inference.common import (
     add_generation_args,
+    check_serving_args,
     load_generator,
+    make_gen_cfg,
     write_results_csv,
 )
 from llark_tpu.models.utils import load_pretrained_model
@@ -37,6 +39,7 @@ def main(argv=None):
     p.add_argument("--continuous-batching", type=int, default=0, metavar="SLOTS",
                    help="serve through the continuous-batching engine with SLOTS decode slots (0 = one-at-a-time Generator)")
     args = p.parse_args(argv)
+    check_serving_args(args)
 
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
 
@@ -52,14 +55,11 @@ def main(argv=None):
         for f in files
     ]
     if args.continuous_batching:
-        from llark_tpu.generate import GenerationConfig
         from llark_tpu.infer import batch_infer_continuous
 
         results = batch_infer_continuous(
             rows, cfg, params, bundle,
-            gen_cfg=GenerationConfig(max_new_tokens=args.max_new_tokens,
-                                     temperature=args.temperature,
-                                     stop_text="###"),
+            gen_cfg=make_gen_cfg(args),
             max_batch=args.continuous_batching,
             max_cache_len=args.max_cache_len,
             max_audio_frames=args.max_audio_frames or 256,

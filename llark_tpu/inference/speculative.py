@@ -115,8 +115,12 @@ def _make_verify_fn(cfg: ModelConfig, gen_cfg: GenerationConfig, gamma: int):
 def _make_draft_propose_fn(cfg: ModelConfig, gamma: int):
     """Jitted draft proposer: consume the last 2 emitted tokens (the
     second is always new to the draft; the first is an idempotent rewrite)
-    then roll gamma greedy single-token steps."""
+    to get proposal d_1, then roll the remaining gamma-1 greedy steps via
+    the shared multistep-decode scan (generate.make_multistep_decode_fn)."""
+    from llark_tpu.generate import make_multistep_decode_fn
+
     greedy = GenerationConfig(temperature=0.0)
+    decode_rest = make_multistep_decode_fn(cfg, greedy, gamma - 1)
 
     def propose(params, last2, cache, positions2, rng):
         # last2 [B, 2] at cache positions [positions2, positions2+1]
@@ -128,25 +132,13 @@ def _make_draft_propose_fn(cfg: ModelConfig, gamma: int):
             kv_cache=cache,
             cache_positions=positions2,
         )
-        token = _sample(logits[:, -1, :], greedy, rng)
-
-        def body(carry, _):
-            tok, cache, pos = carry
-            embeds = decoder_lib.embed_tokens(cfg, params, tok[:, None])
-            logits, cache = decoder_lib.decoder_forward(
-                cfg,
-                params,
-                inputs_embeds=embeds,
-                kv_cache=cache,
-                cache_positions=pos,
-            )
-            nxt = _sample(logits[:, 0, :], greedy, rng)
-            return (nxt, cache, pos + 1), tok
-
-        (_, cache, _), toks = jax.lax.scan(
-            body, (token, cache, positions2 + 2), None, length=gamma
-        )
-        return toks.T, cache  # [B, gamma]
+        d1 = _sample(logits[:, -1, :], greedy, rng)
+        if gamma == 1:
+            return d1[:, None], cache
+        # consumes d1..d_{gamma-1} (each written at its own slot), samples
+        # d_2..d_gamma; d_gamma itself is consumed next round via last2
+        rest, _, cache = decode_rest(params, d1, cache, positions2 + 2, rng)
+        return jnp.concatenate([d1[:, None], rest], axis=1), cache  # [B, gamma]
 
     return propose
 
@@ -213,7 +205,11 @@ class SpeculativeGenerator:
                 ]
             )
             return props, draft_cache
-        last2 = np.stack([h[-2:] for h in histories]).astype(np.int32)
+        # a done row can have a length-1 history (1-token prompt, first
+        # sample was EOS); pad by repeating — its proposals are never used
+        last2 = np.stack(
+            [h[-2:] if len(h) >= 2 else [h[-1], h[-1]] for h in histories]
+        ).astype(np.int32)
         props, draft_cache = self._draft_propose(
             self.draft_params,
             jnp.asarray(last2),
@@ -320,11 +316,14 @@ class SpeculativeGenerator:
             for i in range(b):
                 if done[i]:
                     continue
+                before = int(emitted[i])
                 for j in range(int(n_emit[i])):
                     absorb_one(i, int(target_toks[i, j]))
                     if done[i]:
                         break
-                rounds_accepted += int(n_emit[i]) - 1
+                # count only tokens actually emitted (EOS/stop/max can cut
+                # a round short), minus the 1 the target emits regardless
+                rounds_accepted += max(0, int(emitted[i]) - before - 1)
                 rounds_proposed += self.gamma
 
         self.last_acceptance_rate = (

@@ -59,7 +59,9 @@ def test_self_draft_full_acceptance():
     cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
     params = init_llark_params(cfg, jax.random.PRNGKey(0))
     input_ids, lengths, audio, counts = _batch(cfg)
-    gen_cfg = GenerationConfig(max_new_tokens=13, stop_text="")
+    # 1 prefill token + 2 full rounds of (gamma+1)=5: acceptance is exactly 1.0
+    # (a round cut short by max_new_tokens would count as partial acceptance)
+    gen_cfg = GenerationConfig(max_new_tokens=11, stop_text="")
 
     ref = Generator(cfg, params, PATCH_ID, gen_cfg, max_cache_len=64).generate(
         input_ids, lengths, audio, counts
@@ -135,3 +137,26 @@ def test_speculative_sampling_runs():
     )
     out = spec.generate(input_ids, lengths, audio, counts)
     assert all(len(row) == 8 for row in out)
+
+
+def test_model_draft_survives_len1_history_row():
+    """A 1-token-prompt row whose first sampled token is EOS leaves a
+    length-1 history; draft proposing must not crash on the ragged batch."""
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    input_ids = np.array([[9, 0, 0, 0], [9, 4, 5, 11]], np.int32)
+    lengths = np.array([1, 4], np.int32)
+    base = GenerationConfig(max_new_tokens=8, stop_text="")
+    ref = Generator(cfg, params, PATCH_ID, base, max_cache_len=64).generate(
+        input_ids, lengths
+    )
+    eos = ref[0][0]  # row 0 dies immediately (no token emitted)
+    gen_cfg = GenerationConfig(max_new_tokens=8, stop_text="", eos_token_id=eos)
+    spec = SpeculativeGenerator(
+        cfg, params, PATCH_ID, gen_cfg, max_cache_len=64,
+        draft_cfg=cfg, draft_params=params, gamma=3,
+    )
+    out = spec.generate(input_ids, lengths)
+    assert out[0] == []
+    expect1 = ref[1][: ref[1].index(eos)] if eos in ref[1] else ref[1]
+    assert out[1] == expect1
