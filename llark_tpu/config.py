@@ -47,6 +47,9 @@ class ModelConfig:
     use_pallas_attention: bool = True
     attention_block_q: int = 256
     attention_block_k: int = 256
+    # int8 KV cache: halves cache HBM bytes/step and doubles slot/context
+    # capacity; per-(head, position) scales folded into the attention dots
+    kv_cache_quant: bool = False
     remat: bool = True
     # from-scratch init scheme: kaiming | xavier | small
     # (reference: m2t/llava/model/mpt/param_init_fns.py MODEL_INIT_REGISTRY)

@@ -78,6 +78,9 @@ def make_prefill_fn(cfg: ModelConfig, audio_patch_id: int, max_cache_len: int):
             inputs_embeds=inputs_embeds,
             seq_lengths=prompt_lengths,
             kv_cache=cache,
+            # cache starts empty: attend S x S over the in-flight K/V (Pallas
+            # path) instead of S x max_cache_len over the padded cache
+            prefill_from_empty=True,
         )
         # logits at the last *real* prompt position of each row
         last = jnp.clip(prompt_lengths - 1, 0, s - 1)
@@ -90,6 +93,47 @@ def make_prefill_fn(cfg: ModelConfig, audio_patch_id: int, max_cache_len: int):
         return next_logits, cache
 
     return prefill
+
+
+def make_prefill_chunk_fn(cfg: ModelConfig):
+    """Jittable prefill *continuation*: run one chunk of (already fused)
+    prompt embeddings through the decoder, extending the KV cache at its
+    current index. Skips the LM head (only the cache matters mid-prompt) —
+    used by the server's chunked admission so decode rounds can interleave
+    with long-prompt prefills."""
+
+    def chunk(params, embeds, prompt_lengths, cache):
+        _, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=embeds,
+            seq_lengths=prompt_lengths,
+            kv_cache=cache,
+            return_hidden=True,
+        )
+        return cache
+
+    return chunk
+
+
+def make_prefill_last_fn(cfg: ModelConfig):
+    """Jittable tail of a chunked prefill: re-run each row's LAST fused
+    prompt embedding (an idempotent cache rewrite at plen-1) to obtain the
+    next-token logits the chunk passes skipped."""
+
+    def last(params, embeds, prompt_lengths, cache):
+        idx = jnp.clip(prompt_lengths - 1, 0, embeds.shape[1] - 1)
+        last_embeds = jnp.take_along_axis(embeds, idx[:, None, None], axis=1)
+        logits, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=last_embeds,
+            kv_cache=cache,
+            cache_positions=idx,
+        )
+        return logits[:, 0, :], cache
+
+    return last
 
 
 def make_decode_fn(cfg: ModelConfig):

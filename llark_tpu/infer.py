@@ -124,6 +124,7 @@ def batch_infer_continuous(
     prompt_buckets=(128, 512),
     max_audio_frames: int = 256,
     prompt_override: Optional[str] = None,
+    prefill_chunk: Optional[int] = None,
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
     (llark_tpu/inference/server.py): all rows stream through `max_batch`
@@ -141,6 +142,7 @@ def batch_infer_continuous(
         max_cache_len=max_cache_len,
         prompt_buckets=prompt_buckets,
         max_audio_frames=max_audio_frames,
+        prefill_chunk=prefill_chunk,
         tokenizer=bundle.tokenizer,
     )
     requests: List[Request] = []

@@ -35,6 +35,22 @@ def add_generation_args(p) -> None:
     )
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative draft length per verify round")
+    p.add_argument("--prefill-chunk", type=int, default=None,
+                   help="with --continuous-batching: admit prompts in chunks "
+                        "of this many tokens, interleaving decode rounds so "
+                        "live slots keep emitting during long prefills")
+    p.add_argument("--kv-cache-int8", action="store_true",
+                   help="store the KV cache as int8 with per-position scales "
+                        "(half the cache memory -> 2x slots/context)")
+
+
+def apply_serving_overrides(args, cfg):
+    """Apply serving-only config overrides from CLI flags."""
+    if getattr(args, "kv_cache_int8", False):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, kv_cache_quant=True)
+    return cfg
     p.add_argument("--draft-checkpoint-dir", default=None)
     p.add_argument("--draft-ckpt-num", type=int, default=None)
 

@@ -18,6 +18,7 @@ import numpy as np
 from llark_tpu.infer import batch_infer
 from llark_tpu.inference.common import (
     add_generation_args,
+    apply_serving_overrides,
     check_serving_args,
     load_generator,
     make_gen_cfg,
@@ -42,6 +43,7 @@ def main(argv=None):
     check_serving_args(args)
 
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
+    cfg = apply_serving_overrides(args, cfg)
 
     files = sorted(glob.glob(os.path.join(args.encodings_dir, "*.npy")))
     if args.max_samples:
@@ -63,6 +65,7 @@ def main(argv=None):
             max_batch=args.continuous_batching,
             max_cache_len=args.max_cache_len,
             max_audio_frames=args.max_audio_frames or 256,
+            prefill_chunk=args.prefill_chunk,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

@@ -19,6 +19,7 @@ from llark_tpu.data.webdataset import TarShardReader
 from llark_tpu.infer import batch_infer
 from llark_tpu.inference.common import (
     add_generation_args,
+    apply_serving_overrides,
     check_serving_args,
     load_generator,
     make_gen_cfg,
@@ -68,6 +69,7 @@ def main(argv=None):
     check_serving_args(args)
 
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
+    cfg = apply_serving_overrides(args, cfg)
     urls = expand_url_to_file_list(args.input)
     rows = list(iter_eval_rows(urls, args.max_samples))
     log.info("running inference over %d rows", len(rows))
@@ -80,6 +82,7 @@ def main(argv=None):
             max_batch=args.continuous_batching,
             max_cache_len=args.max_cache_len,
             max_audio_frames=args.max_audio_frames or 256,
+            prefill_chunk=args.prefill_chunk,
             prompt_override=args.prompt,
         )
     else:

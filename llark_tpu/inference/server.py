@@ -35,7 +35,9 @@ from llark_tpu.config import ModelConfig
 from llark_tpu.generate import (
     GenerationConfig,
     make_multistep_decode_fn,
+    make_prefill_chunk_fn,
     make_prefill_fn,
+    make_prefill_last_fn,
 )
 
 log = logging.getLogger(__name__)
@@ -68,6 +70,7 @@ class BatchedServer:
         prompt_buckets: tuple = (128, 512),
         max_audio_frames: int = 60,
         decode_chunk: int = 8,
+        prefill_chunk: Optional[int] = None,
         tokenizer=None,
     ):
         self.cfg = cfg
@@ -83,6 +86,19 @@ class BatchedServer:
 
         # one b=1 prefill program per prompt bucket
         self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
+        # chunked admission: interleave prompt-chunk forwards with decode
+        # rounds so live slots keep emitting during long-prompt prefills
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            from llark_tpu.models.fusion import build_inputs_embeds
+
+            self._embed = jax.jit(
+                lambda params, ids, audio, fcnt: build_inputs_embeds(
+                    cfg, params, ids, audio, audio_patch_id, fcnt
+                )
+            )
+            self._prefill_chunk = jax.jit(make_prefill_chunk_fn(cfg))
+            self._prefill_last = jax.jit(make_prefill_last_fn(cfg))
         self._decode_n = jax.jit(
             make_multistep_decode_fn(cfg, self.gen_cfg, decode_chunk),
             donate_argnums=(2,),
@@ -156,10 +172,13 @@ class BatchedServer:
                     t = min(req.audio_encoding.shape[0], self.max_audio_frames)
                     audio[j, :t] = req.audio_encoding[:t]
                     fcnt[j] = t
-            logits, new_cache = self._prefill(
-                self.params, jnp.asarray(ids), jnp.asarray(plens),
-                jnp.asarray(audio), jnp.asarray(fcnt),
-            )
+            if self.prefill_chunk is not None:
+                logits, new_cache = self._chunked_prefill(ids, plens, audio, fcnt)
+            else:
+                logits, new_cache = self._prefill(
+                    self.params, jnp.asarray(ids), jnp.asarray(plens),
+                    jnp.asarray(audio), jnp.asarray(fcnt),
+                )
             self._rng, sub = jax.random.split(self._rng)
             from llark_tpu.generate import _sample
 
@@ -183,6 +202,31 @@ class BatchedServer:
                 self._tokens_in_flight[slot] = int(firsts[j])
                 if self._absorb(slot, int(firsts[j])):  # may already be EOS
                     self._finish(slot)
+
+    def _chunked_prefill(self, ids, plens, audio, fcnt):
+        """Prefill one admission group in `prefill_chunk`-token chunks,
+        running a decode round for the live slots between chunks. Output is
+        token-identical to the one-shot prefill: attention windows depend
+        only on positions, so chunk boundaries are invisible to the math."""
+        from llark_tpu.models.decoder import init_kv_cache
+
+        k, bucket = ids.shape
+        embeds = self._embed(
+            self.params, jnp.asarray(ids), jnp.asarray(audio), jnp.asarray(fcnt)
+        )  # [k, bucket, H] fused (audio frames spliced in)
+        cache = init_kv_cache(self.cfg, k, self.max_cache_len)
+        plens_j = jnp.asarray(plens)
+        for c in range(0, bucket, self.prefill_chunk):
+            n = min(self.prefill_chunk, bucket - c)
+            cache = self._prefill_chunk(
+                self.params,
+                jax.lax.dynamic_slice_in_dim(embeds, c, n, axis=1),
+                plens_j,
+                cache,
+            )
+            if c + n < bucket:
+                self._decode_round()  # live slots keep emitting mid-prefill
+        return self._prefill_last(self.params, embeds, plens_j, cache)
 
     def _absorb(self, slot: int, t: int) -> bool:
         """Mirror of Generator.generate's per-token absorb (generate.py):

@@ -159,13 +159,32 @@ def init_decoder_params(cfg: ModelConfig, key: jax.Array) -> Params:
 def init_kv_cache(
     cfg: ModelConfig, batch_size: int, max_len: int, dtype=None
 ) -> Params:
-    dtype = dtype or jnp.dtype(cfg.dtype)
     shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if cfg.kv_cache_quant:
+        # int8 cache + per-(layer, row, head, position) dequant scales
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+            "index": jnp.zeros((), jnp.int32),
+        }
+    dtype = dtype or jnp.dtype(cfg.dtype)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "index": jnp.zeros((), jnp.int32),
     }
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, H, S, D] -> (int8 values, f32 per-(B,H,S) scales)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)  # [B, H, S]
+    sc = amax / 127.0
+    q = jnp.round(xf / jnp.maximum(sc, 1e-8)[..., None]).astype(jnp.int8)
+    return q, sc
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +252,10 @@ def _layer_forward(
     cache_positions: Optional[jnp.ndarray],  # [B] per-row write pos (decode)
     dropout_rng: Optional[jax.Array] = None,  # per-layer key (LoRA dropout)
     prefix_lengths: Optional[jnp.ndarray] = None,  # [B] prefix-LM boundary
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    prefill_from_empty: bool = False,  # static: cache starts empty this call
+    k_scale_cache: Optional[jnp.ndarray] = None,  # [B, Hkv, S_max] int8-KV scales
+    v_scale_cache: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, ...]:
     dtype = x.dtype
     b, s, h = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -247,38 +269,75 @@ def _layer_forward(
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
-    new_k_cache = new_v_cache = None
+    new_k_cache = new_v_cache = new_ks = new_vs = None
     if k_cache is not None:
+        quant = k_scale_cache is not None
+        if quant:
+            k_store, k_sc = _quantize_kv(k)
+            v_store, v_sc = _quantize_kv(v)
+        else:
+            k_store, v_store = k, v
         if cache_positions is not None:
             # ragged decode: each row writes at its own position
             def upd(c, x, pos):
                 return jax.lax.dynamic_update_slice(c, x, (0, pos, 0))
 
-            new_k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), cache_positions)
-            new_v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), cache_positions)
+            def upd_sc(c, x, pos):
+                return jax.lax.dynamic_update_slice(c, x, (0, pos))
+
+            new_k_cache = jax.vmap(upd)(k_cache, k_store.astype(k_cache.dtype), cache_positions)
+            new_v_cache = jax.vmap(upd)(v_cache, v_store.astype(v_cache.dtype), cache_positions)
+            if quant:
+                new_ks = jax.vmap(upd_sc)(k_scale_cache, k_sc, cache_positions)
+                new_vs = jax.vmap(upd_sc)(v_scale_cache, v_sc, cache_positions)
             q_offset = cache_positions
             cache_kv_lengths = cache_positions + s
         else:
             # prefill: static-shape insert at the shared scalar index
             new_k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, 0, cache_index, 0)
+                k_cache, k_store.astype(k_cache.dtype), (0, 0, cache_index, 0)
             )
             new_v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, 0, cache_index, 0)
+                v_cache, v_store.astype(v_cache.dtype), (0, 0, cache_index, 0)
             )
+            if quant:
+                new_ks = jax.lax.dynamic_update_slice(
+                    k_scale_cache, k_sc, (0, 0, cache_index)
+                )
+                new_vs = jax.lax.dynamic_update_slice(
+                    v_scale_cache, v_sc, (0, 0, cache_index)
+                )
             q_offset = cache_index
             cache_kv_lengths = jnp.full((b,), cache_index + s, jnp.int32)
         if kv_lengths is not None:
             cache_kv_lengths = jnp.minimum(cache_kv_lengths, kv_lengths)
-        attn = xla_attention(
-            q,
-            new_k_cache,
-            new_v_cache,
-            causal=True,
-            kv_lengths=cache_kv_lengths,
-            slopes=slopes,
-            q_offset=q_offset,
-        )
+        if prefill_from_empty:
+            # The cache held nothing before this call, so attention only
+            # needs the in-flight K/V — S x S on the (Pallas-capable) fast
+            # path instead of S x max_cache_len over the padded cache.
+            attn = multihead_attention(
+                q,
+                k,
+                v,
+                causal=True,
+                kv_lengths=kv_lengths,
+                slopes=slopes,
+                use_pallas=cfg.use_pallas_attention,
+                block_q=cfg.attention_block_q,
+                block_k=cfg.attention_block_k,
+            )
+        else:
+            attn = xla_attention(
+                q,
+                new_k_cache,
+                new_v_cache,
+                causal=True,
+                kv_lengths=cache_kv_lengths,
+                slopes=slopes,
+                q_offset=q_offset,
+                k_scale=new_ks,
+                v_scale=new_vs,
+            )
     else:
         attn = multihead_attention(
             q,
@@ -306,7 +365,7 @@ def _layer_forward(
         up = _lora_dense(cfg, lp, "w_up", y, dtype, dropout_rng)
         z = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(dtype)
     mlp_out = _lora_dense(cfg, lp, "w_down", z, dtype, dropout_rng)
-    return x + mlp_out, new_k_cache, new_v_cache
+    return x + mlp_out, new_k_cache, new_v_cache, new_ks, new_vs
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +386,7 @@ def decoder_forward(
     return_hidden: bool = False,
     dropout_rng: Optional[jax.Array] = None,  # enables LoRA dropout (training)
     prefix_lengths: Optional[jnp.ndarray] = None,  # [B] prefix-LM boundaries
+    prefill_from_empty: bool = False,  # static: this call fills an EMPTY cache
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_kv_cache|None).
 
@@ -341,6 +401,7 @@ def decoder_forward(
     b, s, _ = x.shape
 
     cache_index = kv_cache["index"] if kv_cache is not None else None
+    quant_cache = kv_cache is not None and "k_scale" in kv_cache
     if positions is None:
         pos = jnp.arange(s, dtype=jnp.int32)[None, :]
         if cache_positions is not None:
@@ -365,14 +426,20 @@ def decoder_forward(
             if len(xs) == 1:
                 xs = xs[0]
         if kv_cache is not None:
-            lp, kc, vc = xs
-            out, nk, nv = _layer_forward(
+            if quant_cache:
+                lp, kc, vc, ks, vs = xs
+            else:
+                lp, kc, vc = xs
+                ks = vs = None
+            out, nk, nv, nks, nvs = _layer_forward(
                 cfg, lp, xh, positions, seq_lengths, slopes, kc, vc,
                 cache_index, cache_positions, rng,
+                prefill_from_empty=prefill_from_empty,
+                k_scale_cache=ks, v_scale_cache=vs,
             )
-            return out, (nk, nv)
+            return out, ((nk, nv, nks, nvs) if quant_cache else (nk, nv))
         lp = xs
-        out, _, _ = _layer_forward(
+        out, _, _, _, _ = _layer_forward(
             cfg, lp, xh, positions, seq_lengths, slopes, None, None, None, None,
             rng, prefix_lengths,
         )
@@ -383,10 +450,19 @@ def decoder_forward(
 
     if kv_cache is not None:
         xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+        if quant_cache:
+            xs = xs + (kv_cache["k_scale"], kv_cache["v_scale"])
         if layer_rngs is not None:
             xs = xs + (layer_rngs,)
-        x, (new_k, new_v) = jax.lax.scan(body, x, xs)
-        new_cache = {"k": new_k, "v": new_v, "index": kv_cache["index"] + s}
+        if quant_cache:
+            x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, xs)
+            new_cache = {
+                "k": new_k, "v": new_v, "k_scale": new_ks, "v_scale": new_vs,
+                "index": kv_cache["index"] + s,
+            }
+        else:
+            x, (new_k, new_v) = jax.lax.scan(body, x, xs)
+            new_cache = {"k": new_k, "v": new_v, "index": kv_cache["index"] + s}
     else:
         xs = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
         x, _ = jax.lax.scan(body, x, xs)

@@ -67,6 +67,8 @@ def xla_attention(
     slopes: Optional[jnp.ndarray] = None,
     q_offset: int | jnp.ndarray = 0,
     prefix_lengths: Optional[jnp.ndarray] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Reference attention in pure XLA. q:[B,H,Sq,D] k,v:[B,Hkv,Sk,D].
 
@@ -75,6 +77,11 @@ def xla_attention(
     masking: positions < prefix_lengths[b] attend bidirectionally, later
     positions causally (reference: modeling_mpt.py:147-185 prefix_mask).
     fp32 softmax for numerical stability.
+
+    `k_scale`/`v_scale` [B, Hkv, Sk] dequantize int8 KV caches without ever
+    materializing a dequantized copy: per-position scales factor OUT of the
+    dots (QK^T_qj = k_scale_j * (q . k8_j); the V scale folds into the
+    softmax probabilities), so both matmuls read the int8 cache directly.
     """
     b, h, sq, d = q.shape
     k = _broadcast_kv(k, h)
@@ -82,9 +89,14 @@ def xla_attention(
     sk = k.shape[2]
     scale = 1.0 / math.sqrt(d)
     logits = (
-        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
         * scale
     )
+    if k_scale is not None:
+        logits = logits * _broadcast_kv(k_scale[..., None], h)[..., 0][:, :, None, :]
 
     # q_offset may be a scalar or per-row [B] (ragged decode positions)
     q_off = jnp.asarray(q_offset, jnp.int32).reshape(-1, 1, 1)  # [1|B, 1, 1]
@@ -106,8 +118,12 @@ def xla_attention(
         mask = mask & (k_pos[:, None] < kv_lengths[:, None, None, None])
     logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        probs = probs * _broadcast_kv(v_scale[..., None], h)[..., 0][:, :, None, :]
+    pdtype = q.dtype if v_scale is not None else v.dtype
     return jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+        "bhqk,bhkd->bhqd", probs.astype(pdtype), v.astype(pdtype),
+        preferred_element_type=jnp.float32,
     ).astype(q.dtype)
 
 

@@ -36,10 +36,15 @@ from llark_tpu.generate import (
 from llark_tpu.parallel.mesh import AXES, param_partition_specs, param_shardings
 
 
-def kv_cache_spec() -> dict:
-    """PartitionSpecs for the [L, B, H_kv, S, D] cache pytree."""
+def kv_cache_spec(cfg: Optional[ModelConfig] = None) -> dict:
+    """PartitionSpecs for the [L, B, H_kv, S, D] cache pytree (plus the
+    [L, B, H_kv, S] scale leaves when cfg.kv_cache_quant)."""
     kv = P(None, AXES.batch, AXES.tensor, None, None)
-    return {"k": kv, "v": kv, "index": P()}
+    spec = {"k": kv, "v": kv, "index": P()}
+    if cfg is not None and cfg.kv_cache_quant:
+        sc = P(None, AXES.batch, AXES.tensor, None)
+        spec.update({"k_scale": sc, "v_scale": sc})
+    return spec
 
 
 class ShardedGenerator:
@@ -70,7 +75,7 @@ class ShardedGenerator:
         self.params = jax.tree.map(jax.device_put, params, self.param_sh)
 
         cache_sh = jax.tree.map(
-            lambda s: NamedSharding(mesh, s), kv_cache_spec(),
+            lambda s: NamedSharding(mesh, s), kv_cache_spec(cfg),
             is_leaf=lambda x: isinstance(x, P),
         )
         batch_sh = NamedSharding(mesh, P(AXES.batch))

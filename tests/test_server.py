@@ -103,3 +103,21 @@ def test_server_rejects_oversized_prompt(setup):
     big = Request(np.arange(4, 20, dtype=np.int32))
     with pytest.raises(ValueError):
         server.serve([big])
+
+
+def test_server_chunked_prefill_matches_generator(setup):
+    """prefill_chunk admission is token-identical to one-shot prefill
+    (chunk boundaries are invisible: attention depends only on positions)."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2, prefill_chunk=5,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
