@@ -37,6 +37,7 @@ def build(cfg_name: str):
             param_dtype="bfloat16",
             dtype="bfloat16",
             remat=False,
+            kv_cache_quant=True,  # int8 KV: fewer cache bytes per step
         )
         baseline = 60.0
     else:
@@ -50,6 +51,7 @@ def build(cfg_name: str):
             param_dtype="bfloat16",
             dtype="bfloat16",
             remat=False,
+            kv_cache_quant=True,
         )
         baseline = 420.0
     return cfg, baseline

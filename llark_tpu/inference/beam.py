@@ -104,6 +104,7 @@ class BeamSearcher:
         audio_frame_counts: Optional[np.ndarray] = None,
         tokenizer=None,
         return_all_beams: bool = False,
+        rng=None,  # accepted for Generator interface parity; beam is deterministic
     ):
         """Best beam per row (token list without the prompt), or all K
         (tokens, score) pairs per row with return_all_beams=True."""

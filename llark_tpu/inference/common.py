@@ -42,6 +42,9 @@ def add_generation_args(p) -> None:
     p.add_argument("--kv-cache-int8", action="store_true",
                    help="store the KV cache as int8 with per-position scales "
                         "(half the cache memory -> 2x slots/context)")
+    p.add_argument("--num-beams", type=int, default=1,
+                   help="beam search width (1 = greedy/sampling; the HF "
+                        "generate num_beams counterpart)")
 
 
 def apply_serving_overrides(args, cfg):
@@ -77,12 +80,34 @@ def check_serving_args(args) -> None:
             "--speculative is not supported with --continuous-batching "
             "(the batched server amortizes the weight read across slots already)"
         )
+    if getattr(args, "num_beams", 1) > 1:
+        if getattr(args, "continuous_batching", 0):
+            raise SystemExit("--num-beams is not supported with --continuous-batching")
+        if getattr(args, "speculative", "off") != "off":
+            raise SystemExit("--num-beams is not supported with --speculative")
+        if getattr(args, "temperature", 0.0) > 0.0:
+            raise SystemExit("--num-beams performs deterministic beam search; "
+                             "drop --temperature")
 
 
 def load_generator(args, bundle, cfg, params):
     from llark_tpu.generate import Generator
 
     gen_cfg = make_gen_cfg(args)
+    if getattr(args, "num_beams", 1) > 1:
+        from llark_tpu.inference.beam import BeamSearchConfig, BeamSearcher
+
+        return BeamSearcher(
+            cfg,
+            params,
+            audio_patch_id=bundle.audio_patch_id,
+            beam_cfg=BeamSearchConfig(
+                num_beams=args.num_beams,
+                max_new_tokens=args.max_new_tokens,
+                stop_text="###",
+            ),
+            max_cache_len=args.max_cache_len,
+        )
     speculative = getattr(args, "speculative", "off")
     if speculative != "off":
         from llark_tpu.inference.speculative import SpeculativeGenerator

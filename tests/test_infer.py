@@ -185,3 +185,32 @@ def test_infer_from_webdataset_cli_speculative(trained_ckpt, tmp_path):
     with open(b_csv) as f:
         b = list(csv.DictReader(f))
     assert [r["model_completion"] for r in a] == [r["model_completion"] for r in b]
+
+
+def test_infer_from_encodings_cli_beam(trained_ckpt, tmp_path):
+    """--num-beams 1 equals the default path; --num-beams 3 runs end-to-end."""
+    from llark_tpu.inference.from_encodings import main
+
+    enc_dir = tmp_path / "encb"
+    os.makedirs(enc_dir)
+    rng = np.random.RandomState(5)
+    np.save(enc_dir / "clip0.npy", rng.randn(5, MM).astype(np.float32))
+    common = [
+        "--checkpoint-dir", str(trained_ckpt / "ckpt"),
+        "--encodings-dir", str(enc_dir),
+        "--prompt", "describe this .",
+        "--max-new-tokens", "5",
+        "--max-cache-len", "256",
+    ]
+    outs = {}
+    for k in ("1", "3"):
+        csv_path = str(tmp_path / f"beam{k}.csv")
+        main(common + ["--output", csv_path, "--num-beams", k])
+        with open(csv_path) as f:
+            outs[k] = [r["model_completion"] for r in csv.DictReader(f)]
+    base_csv = str(tmp_path / "base.csv")
+    main(common + ["--output", base_csv])
+    with open(base_csv) as f:
+        base = [r["model_completion"] for r in csv.DictReader(f)]
+    assert outs["1"] == base
+    assert len(outs["3"]) == 1 and isinstance(outs["3"][0], str)
