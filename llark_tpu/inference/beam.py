@@ -63,11 +63,11 @@ def _make_beam_step_fn(cfg: ModelConfig, k: int, eos_id: int):
         parent = idx // v  # [B, K] in [0, K)
         tok = (idx % v).astype(jnp.int32)
         # reorder: gather beams by parent along the flattened batch-beam axis
+        # (leaf-generic so int8-cache scale leaves reorder too)
         gidx = (jnp.arange(b)[:, None] * k + parent).reshape(-1)  # [B*K]
         cache = {
-            "k": jnp.take(cache["k"], gidx, axis=1),
-            "v": jnp.take(cache["v"], gidx, axis=1),
-            "index": cache["index"],
+            name: leaf if leaf.ndim == 0 else jnp.take(leaf, gidx, axis=1)
+            for name, leaf in cache.items()
         }
         new_alive = jnp.take_along_axis(alive, parent, axis=1) & (tok != eos_id)
         return tok, parent, new_scores, new_alive, cache
@@ -142,9 +142,8 @@ class BeamSearcher:
         scores, tok0 = jax.lax.top_k(logp0, k)  # [B, K]
         tokens = tok0.astype(jnp.int32)
         cache = {
-            "k": jnp.repeat(cache["k"], k, axis=1),
-            "v": jnp.repeat(cache["v"], k, axis=1),
-            "index": cache["index"],
+            name: leaf if leaf.ndim == 0 else jnp.repeat(leaf, k, axis=1)
+            for name, leaf in cache.items()
         }
         alive = tokens != eos
         scores = jnp.asarray(scores)

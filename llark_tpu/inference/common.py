@@ -45,6 +45,8 @@ def add_generation_args(p) -> None:
     p.add_argument("--num-beams", type=int, default=1,
                    help="beam search width (1 = greedy/sampling; the HF "
                         "generate num_beams counterpart)")
+    p.add_argument("--draft-checkpoint-dir", default=None)
+    p.add_argument("--draft-ckpt-num", type=int, default=None)
 
 
 def apply_serving_overrides(args, cfg):
@@ -54,8 +56,6 @@ def apply_serving_overrides(args, cfg):
 
         cfg = dataclasses.replace(cfg, kv_cache_quant=True)
     return cfg
-    p.add_argument("--draft-checkpoint-dir", default=None)
-    p.add_argument("--draft-ckpt-num", type=int, default=None)
 
 
 def make_gen_cfg(args):
@@ -80,6 +80,12 @@ def check_serving_args(args) -> None:
             "--speculative is not supported with --continuous-batching "
             "(the batched server amortizes the weight read across slots already)"
         )
+    pfc = getattr(args, "prefill_chunk", None)
+    if pfc is not None:
+        if not getattr(args, "continuous_batching", 0):
+            raise SystemExit("--prefill-chunk requires --continuous-batching")
+        if pfc < 1:
+            raise SystemExit("--prefill-chunk must be >= 1")
     if getattr(args, "num_beams", 1) > 1:
         if getattr(args, "continuous_batching", 0):
             raise SystemExit("--num-beams is not supported with --continuous-batching")

@@ -1,0 +1,234 @@
+"""Online HTTP serving front-end over the continuous-batching engine.
+
+The reference has no serving daemon (its "serving" story is the batch CSV
+scripts, scripts/inference/*.py); this adds one, stdlib-only, so a
+trained checkpoint can be queried interactively:
+
+  python -m llark_tpu.inference.http_server \
+      --checkpoint-dir ckpt --port 8A.. [--continuous-batching 4] \
+      [--kv-cache-int8] [--prefill-chunk 256]
+
+  POST /generate   {"prompt": "...", "audio_encoding": [[...]] | null,
+                    "max_new_tokens": 64?}   -> {"completion": "...",
+                    "tokens": [...], "ttft_s": ..., "latency_s": ...}
+  GET  /health     -> {"status": "ok", "slots_free": N, "queued": M}
+
+Design: handler threads only build `Request` objects and enqueue them; a
+single engine thread owns ALL device state and loops admit -> decode, so
+no jax computation ever runs concurrently (the TPU program order stays
+deterministic). Handlers wait on a per-request Event signalled by the
+engine loop after `Request.done` flips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from llark_tpu.inference.server import BatchedServer, Request
+
+log = logging.getLogger(__name__)
+
+
+class OnlineEngine:
+    """Drives a BatchedServer continuously: submissions from any thread,
+    admission + decode strictly on the engine thread."""
+
+    def __init__(self, server: BatchedServer, idle_sleep_s: float = 0.002):
+        self.server = server
+        self.idle_sleep_s = idle_sleep_s
+        self._lock = threading.Lock()
+        self._pending = []  # (Request, Event), handed to the engine thread
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- client side -------------------------------------------------------
+    def submit(self, req: Request) -> threading.Event:
+        ev = threading.Event()
+        req.submitted_at = time.time()
+        with self._lock:
+            self._pending.append((req, ev))
+        return ev
+
+    def generate(self, req: Request, timeout: Optional[float] = None) -> Request:
+        ev = self.submit(req)
+        if not ev.wait(timeout):
+            raise TimeoutError("generation timed out")
+        return req
+
+    # -- engine side -------------------------------------------------------
+    def _run(self) -> None:
+        srv = self.server
+        tracked = {}  # id -> (Request, Event)
+        while not self._stop.is_set():
+            with self._lock:
+                newly, self._pending = self._pending, []
+            for req, ev in newly:
+                tracked[id(req)] = (req, ev)
+                srv._queue.append(req)
+            if not srv._queue and not srv._active():
+                time.sleep(self.idle_sleep_s)
+            else:
+                srv._admit()
+                srv._decode_round()
+            for rid in [r for r, (req, _) in tracked.items() if req.done]:
+                tracked.pop(rid)[1].set()
+        # on shutdown: fail fast for anything still in flight
+        for req, ev in tracked.values():
+            ev.set()
+
+    def start(self) -> "OnlineEngine":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def stats(self) -> dict:
+        srv = self.server
+        return {
+            "status": "ok",
+            "slots_free": len(srv._free_slots()),
+            "queued": len(srv._queue),
+        }
+
+
+def make_handler(engine: OnlineEngine, bundle, prompt_cap: int):
+    from llark_tpu.infer import build_prompt_ids
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            log.debug("http: " + fmt, *args)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, engine.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                prompt = payload.get("prompt") or "Describe the audio."
+                enc = payload.get("audio_encoding")
+                if isinstance(enc, str):  # base64-encoded .npy bytes
+                    import io
+
+                    enc = np.load(io.BytesIO(base64.b64decode(enc)))
+                audio = None
+                t = 0
+                if enc is not None:
+                    audio = np.asarray(enc, np.float32)
+                    if audio.ndim == 3 and audio.shape[0] == 1:
+                        audio = audio[0]
+                    t = audio.shape[0]
+                ids = np.asarray(
+                    build_prompt_ids(prompt, t, bundle), np.int32
+                )
+                if len(ids) > prompt_cap:
+                    self._reply(413, {"error": f"prompt too long ({len(ids)} > {prompt_cap} tokens)"})
+                    return
+                req = engine.generate(
+                    Request(ids, audio), timeout=float(payload.get("timeout", 300.0))
+                )
+                completion = bundle.tokenizer.decode(req.tokens)
+                self._reply(
+                    200,
+                    {
+                        "completion": completion,
+                        "tokens": req.tokens,
+                        "ttft_s": (req.first_token_at or 0) - req.submitted_at,
+                        "latency_s": (req.finished_at or 0) - req.submitted_at,
+                    },
+                )
+            except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                log.exception("generate failed")
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve_http(server: BatchedServer, bundle, host: str = "127.0.0.1",
+               port: int = 8000):
+    """Start engine + HTTP listener; returns (httpd, engine) for the caller
+    to run (httpd.serve_forever()) and to shut down."""
+    engine = OnlineEngine(server).start()
+    cap = min(
+        server.max_cache_len - server.gen_cfg.max_new_tokens - server.decode_chunk,
+        server.prompt_buckets[-1],
+    )
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine, bundle, cap))
+    return httpd, engine
+
+
+def main(argv=None):
+    from llark_tpu.generate import GenerationConfig
+    from llark_tpu.inference.common import add_generation_args, apply_serving_overrides
+    from llark_tpu.models.utils import load_pretrained_model
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--ckpt-num", type=int, default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--continuous-batching", type=int, default=4, metavar="SLOTS")
+    p.add_argument("--max-audio-frames", type=int, default=256)
+    p.add_argument("--prompt-buckets", default="128,512")
+    add_generation_args(p)
+    args = p.parse_args(argv)
+
+    cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
+    cfg = apply_serving_overrides(args, cfg)
+    server = BatchedServer(
+        cfg,
+        params,
+        bundle.audio_patch_id,
+        GenerationConfig(
+            max_new_tokens=args.max_new_tokens,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            top_k=args.top_k,
+            stop_text="###",
+        ),
+        max_batch=args.continuous_batching,
+        max_cache_len=args.max_cache_len,
+        prompt_buckets=tuple(int(x) for x in args.prompt_buckets.split(",")),
+        max_audio_frames=args.max_audio_frames,
+        prefill_chunk=args.prefill_chunk,
+        tokenizer=bundle.tokenizer,
+    )
+    httpd, engine = serve_http(server, bundle, args.host, args.port)
+    log.info("serving on %s:%d (%d slots)", args.host, args.port,
+             args.continuous_batching)
+    try:
+        httpd.serve_forever()
+    finally:
+        engine.stop()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

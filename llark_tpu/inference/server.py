@@ -90,6 +90,8 @@ class BatchedServer:
         # rounds so live slots keep emitting during long-prompt prefills
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
+            if prefill_chunk < 1:
+                raise ValueError("prefill_chunk must be >= 1")
             from llark_tpu.models.fusion import build_inputs_embeds
 
             self._embed = jax.jit(
@@ -205,26 +207,41 @@ class BatchedServer:
 
     def _chunked_prefill(self, ids, plens, audio, fcnt):
         """Prefill one admission group in `prefill_chunk`-token chunks,
-        running a decode round for the live slots between chunks. Output is
-        token-identical to the one-shot prefill: attention windows depend
-        only on positions, so chunk boundaries are invisible to the math."""
+        running a decode round for the live slots between chunks. With the
+        bf16 cache this is token-identical to one-shot prefill (attention
+        windows depend only on positions, so chunk boundaries are invisible
+        to the math); with kv_cache_quant, chunks after the first attend the
+        int8-quantized history while one-shot prefill attends full-precision
+        in-flight K/V, so outputs agree only within quantization noise.
+
+        The bucket is padded up to a chunk multiple so every chunk compiles
+        the same program shape (compiles via the TPU tunnel cost minutes
+        each); the pad region writes masked-then-overwritten cache slots,
+        the same invariant padded one-shot prefill relies on."""
         from llark_tpu.models.decoder import init_kv_cache
 
         k, bucket = ids.shape
         embeds = self._embed(
             self.params, jnp.asarray(ids), jnp.asarray(audio), jnp.asarray(fcnt)
         )  # [k, bucket, H] fused (audio frames spliced in)
+        pad = (-bucket) % self.prefill_chunk
+        if bucket + pad > self.max_cache_len:
+            raise ValueError(
+                f"bucket {bucket} padded to {bucket + pad} exceeds "
+                f"max_cache_len {self.max_cache_len}; pick a prefill_chunk "
+                "that divides the bucket or enlarge the cache"
+            )
+        padded = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0))) if pad else embeds
         cache = init_kv_cache(self.cfg, k, self.max_cache_len)
         plens_j = jnp.asarray(plens)
-        for c in range(0, bucket, self.prefill_chunk):
-            n = min(self.prefill_chunk, bucket - c)
+        for c in range(0, bucket + pad, self.prefill_chunk):
             cache = self._prefill_chunk(
                 self.params,
-                jax.lax.dynamic_slice_in_dim(embeds, c, n, axis=1),
+                jax.lax.dynamic_slice_in_dim(padded, c, self.prefill_chunk, axis=1),
                 plens_j,
                 cache,
             )
-            if c + n < bucket:
+            if c + self.prefill_chunk < bucket + pad:
                 self._decode_round()  # live slots keep emitting mid-prefill
         return self._prefill_last(self.params, embeds, plens_j, cache)
 

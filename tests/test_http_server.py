@@ -1,0 +1,116 @@
+"""Online HTTP front-end: concurrent requests through the engine thread."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import GenerationConfig, Generator
+from llark_tpu.inference.http_server import OnlineEngine, serve_http
+from llark_tpu.inference.server import BatchedServer, Request
+from llark_tpu.models.fusion import init_llark_params
+from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(cfg.vocab_size))
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=6, temperature=0.0, stop_text="###",
+                         decode_chunk=2),
+        max_batch=2, max_cache_len=128, prompt_buckets=(64,),
+        max_audio_frames=4, decode_chunk=2, tokenizer=bundle.tokenizer,
+    )
+    return cfg, params, bundle, server
+
+
+def test_online_engine_matches_generator(stack):
+    cfg, params, bundle, server = stack
+    from llark_tpu.infer import build_prompt_ids
+
+    engine = OnlineEngine(server).start()
+    try:
+        rng = np.random.RandomState(0)
+        prompts = ["describe this sound .", "what genre is it ?", "explain ."]
+        audio = [rng.randn(3, cfg.mm_hidden_size).astype(np.float32) for _ in prompts]
+
+        # concurrent submissions from several threads
+        results = [None] * len(prompts)
+
+        def work(i):
+            ids = np.asarray(build_prompt_ids(prompts[i], 3, bundle), np.int32)
+            req = engine.generate(Request(ids, audio[i]), timeout=120)
+            results[i] = req.tokens
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+
+        gen = Generator(
+            cfg, params, bundle.audio_patch_id,
+            GenerationConfig(max_new_tokens=6, stop_text="###"),
+            max_cache_len=128,
+        )
+        for i, p in enumerate(prompts):
+            ids = build_prompt_ids(p, 3, bundle)
+            b = np.zeros((1, 64), np.int32)
+            b[0, : len(ids)] = ids
+            ref = gen.generate(
+                b, np.array([len(ids)], np.int32), audio[i][None],
+                np.array([3], np.int32), tokenizer=bundle.tokenizer,
+            )[0]
+            assert results[i] == ref, i
+    finally:
+        engine.stop()
+
+
+def test_http_roundtrip(stack):
+    cfg, params, bundle, server = stack
+    httpd, engine = serve_http(server, bundle, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        rng = np.random.RandomState(1)
+        enc = rng.randn(3, cfg.mm_hidden_size).astype(np.float32)
+        body = json.dumps(
+            {"prompt": "describe this .", "audio_encoding": enc.tolist()}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert isinstance(out["completion"], str)
+        assert len(out["tokens"]) > 0
+        assert out["latency_s"] >= 0
+
+        # oversized prompt -> 413
+        body = json.dumps({"prompt": "word " * 200}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        httpd.shutdown()
+        engine.stop()

@@ -214,3 +214,31 @@ def test_infer_from_encodings_cli_beam(trained_ckpt, tmp_path):
         base = [r["model_completion"] for r in csv.DictReader(f)]
     assert outs["1"] == base
     assert len(outs["3"]) == 1 and isinstance(outs["3"][0], str)
+
+
+def test_infer_from_encodings_cli_speculative_draft(trained_ckpt, tmp_path):
+    """--speculative draft with the model as its own draft reproduces the
+    plain path exactly (and exercises the draft-flag plumbing)."""
+    from llark_tpu.inference.from_encodings import main
+
+    enc_dir = tmp_path / "encd"
+    os.makedirs(enc_dir)
+    rng = np.random.RandomState(7)
+    np.save(enc_dir / "clip0.npy", rng.randn(5, MM).astype(np.float32))
+    common = [
+        "--checkpoint-dir", str(trained_ckpt / "ckpt"),
+        "--encodings-dir", str(enc_dir),
+        "--prompt", "describe this .",
+        "--max-new-tokens", "5",
+        "--max-cache-len", "256",
+    ]
+    a_csv, b_csv = str(tmp_path / "da.csv"), str(tmp_path / "db.csv")
+    main(common + ["--output", a_csv])
+    main(common + ["--output", b_csv, "--speculative", "draft",
+                   "--draft-checkpoint-dir", str(trained_ckpt / "ckpt"),
+                   "--gamma", "2"])
+    with open(a_csv) as f:
+        a = [r["model_completion"] for r in csv.DictReader(f)]
+    with open(b_csv) as f:
+        b = [r["model_completion"] for r in csv.DictReader(f)]
+    assert a == b

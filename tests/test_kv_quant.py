@@ -128,3 +128,54 @@ def test_server_with_quant_cache_matches_quant_generator():
     )
     out = server.serve([Request(ids) for ids, _ in reqs])
     assert [r.tokens for r in out] == ref
+
+
+def test_beam_preserves_quant_cache_leaves():
+    """BeamSearcher must carry the int8-cache scale leaves through beam
+    expansion and reorder: k=1 beam equals the quant Generator greedy."""
+    from llark_tpu.inference.beam import BeamSearchConfig, BeamSearcher
+
+    base, quant = _cfgs()
+    params = init_llark_params(base, jax.random.PRNGKey(0))
+    input_ids, lengths, audio, counts = _batch(base)
+    n_new = 8
+
+    ref = Generator(
+        quant, params, PATCH_ID,
+        GenerationConfig(max_new_tokens=n_new, stop_text=""),
+        max_cache_len=64,
+    ).generate(input_ids, lengths, audio, counts)
+    beam = BeamSearcher(
+        quant, params, PATCH_ID,
+        BeamSearchConfig(num_beams=1, max_new_tokens=n_new, stop_text=""),
+        max_cache_len=64,
+    ).generate(input_ids, lengths, audio, counts)
+    assert beam == ref
+    # wider beams run without dropping leaves either
+    out = BeamSearcher(
+        quant, params, PATCH_ID,
+        BeamSearchConfig(num_beams=3, max_new_tokens=4, stop_text=""),
+        max_cache_len=64,
+    ).generate(input_ids, lengths, audio, counts)
+    assert all(len(row) == 4 for row in out)
+
+
+def test_server_chunked_prefill_with_quant_cache_runs():
+    """--prefill-chunk + int8 cache serves to completion (agreement with
+    one-shot is within quantization noise, not token-exact — documented)."""
+    from llark_tpu.inference.server import BatchedServer, Request
+
+    _, quant = _cfgs()
+    params = init_llark_params(quant, jax.random.PRNGKey(1))
+    rng = np.random.RandomState(2)
+    reqs = [Request(rng.randint(1, quant.vocab_size - 8, size=(5 + i,)).astype(np.int32))
+            for i in range(3)]
+    server = BatchedServer(
+        quant, params, PATCH_ID,
+        GenerationConfig(max_new_tokens=4, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(8,),
+        max_audio_frames=4, decode_chunk=2, prefill_chunk=3,  # pads 8 -> 9
+    )
+    out = server.serve(reqs)
+    assert all(len(r.tokens) == 4 for r in out)
