@@ -1,0 +1,49 @@
+"""Continuous-batching serving benchmark: 7B int8 weights, int8 KV cache,
+chunked prefill, 4 slots, one chip. Produced the 147 tok/s aggregate number
+in PERFORMANCE.md. Run on a TPU host: python scripts/bench/bench_serving.py"""
+import dataclasses
+import time
+
+import numpy as np
+import jax
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import GenerationConfig
+from llark_tpu.inference.server import BatchedServer, Request
+from llark_tpu.models.fusion import init_llark_params
+from llark_tpu.models.quant import quantize_params_int8_incremental
+
+cfg = ModelConfig(
+    vocab_size=32004, hidden_size=4096, intermediate_size=11008,
+    num_layers=32, num_heads=32, num_kv_heads=32,
+    param_dtype="bfloat16", dtype="bfloat16", remat=False,
+    kv_cache_quant=True,
+)
+params = jax.jit(lambda k: init_llark_params(cfg, k))(jax.random.PRNGKey(0))
+params = quantize_params_int8_incremental(cfg, params)
+
+rng = np.random.RandomState(0)
+reqs = []
+for i in range(12):
+    n = 380 + (i * 17) % 120  # 380-500 token prompts
+    ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
+    audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
+    reqs.append(Request(ids, audio))
+
+server = BatchedServer(
+    cfg, params, audio_patch_id=31999,
+    gen_cfg=GenerationConfig(max_new_tokens=128, temperature=0.0, stop_text=""),
+    max_batch=4, max_cache_len=1024, prompt_buckets=(512,),
+    max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
+)
+# warmup: compile prefill/decode/insert programs on a small set
+warm = [Request(reqs[0].input_ids.copy(), reqs[0].audio_encoding.copy()) for _ in range(2)]
+server.gen_cfg = dataclasses.replace(server.gen_cfg, max_new_tokens=17)
+server.serve(warm)
+server.gen_cfg = dataclasses.replace(server.gen_cfg, max_new_tokens=128)
+
+t0 = time.time()
+out = server.serve(reqs)
+stats = server.stats(out)
+stats["wall_s"] = round(time.time() - t0, 1)
+print(stats)
