@@ -102,6 +102,28 @@ def wds_key_to_example_id(key: str) -> str:
     return parse_cropped_id(os.path.basename(key))["id"]
 
 
+def example_id_to_wds_key(example_id: str) -> str:
+    """Example id -> webdataset-friendly tar key. Tar readers treat
+    everything after the FIRST dot as the field extension, so dots inside
+    ids (crop windows like '-start30.000-end60.000') must be encoded;
+    mirrors the reference's underscore encoding whose inverse lives at
+    m2t/dataset_utils/__init__.py:58-73."""
+    return str(example_id).replace(".", "_")
+
+
+_START_US = re.compile(r"start(\d+)_(\d+)")
+_END_US = re.compile(r"end(\d+)_(\d+)")
+
+
+def wds_key_to_original_id(key: str) -> str:
+    """Inverse of example_id_to_wds_key for crop-window keys: restores
+    'start30_000' -> 'start30.000' and 'end60_000' -> 'end60.000'
+    (reference: m2t/dataset_utils/__init__.py:58-73; we deliberately skip
+    its blanket '_'->'.' pass, which corrupts ids with real underscores)."""
+    key = _START_US.sub(r"start\1.\2", key)
+    return _END_US.sub(r"end\1.\2", key)
+
+
 def format_example_for_model(
     row: Dict[str, Any],
     drop_cols: Sequence[str] = ("audio", "audio_sample_rate"),

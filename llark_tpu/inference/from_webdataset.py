@@ -16,6 +16,7 @@ import numpy as np
 
 from llark_tpu.data.shards import expand_url_to_file_list
 from llark_tpu.data.webdataset import TarShardReader
+from llark_tpu.dataset_utils import wds_key_to_original_id
 from llark_tpu.infer import batch_infer
 from llark_tpu.inference.common import (
     add_generation_args,
@@ -42,7 +43,9 @@ def iter_eval_rows(urls, max_samples=None):
         responses = js.get("response") or [{}]
         first = responses[0] if isinstance(responses, list) else {}
         yield {
-            "example_id": sample["__key__"],
+            # undo the packer's dot->underscore key encoding so CSV ids
+            # join against the original (crop-window) example ids
+            "example_id": wds_key_to_original_id(sample["__key__"]),
             "prompt": first.get("question"),
             "response": first.get("answer", ""),
             "audio_encoding": np.asarray(enc, np.float32),

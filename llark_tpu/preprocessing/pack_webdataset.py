@@ -25,6 +25,7 @@ from typing import Dict
 import numpy as np
 
 from llark_tpu.data.webdataset import TarShardWriter
+from llark_tpu.dataset_utils import example_id_to_wds_key
 
 log = logging.getLogger(__name__)
 
@@ -62,7 +63,9 @@ def main(argv=None):
                 enc = np.load(enc_path).astype(np.float32)
                 w.write(
                     {
-                        "__key__": key,
+                        # dots in ids (crop windows) would read back as tar
+                        # field extensions; encode them (reference key format)
+                        "__key__": example_id_to_wds_key(key),
                         "json": row,
                         "audio_encoding.pyd": enc,
                     }
