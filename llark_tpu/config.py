@@ -178,6 +178,9 @@ class TrainingArguments:
     lr_scheduler_type: str = "cosine"
     max_steps: int = 100_000
     save_steps: int = 5000
+    # eval-loss pass over eval_data_path every N steps (0 = disabled, the
+    # reference's evaluation_strategy "no" default, train_llark.sh:44)
+    eval_steps: int = 0
     save_total_limit: int = 1
     logging_steps: int = 1
     seed: int = 42

@@ -49,6 +49,9 @@ def sample_to_conversations(
 ) -> Iterator[Dict[str, Any]]:
     """Unpack one WDS sample into per-QA conversation examples."""
     js = sample.get("json")
+    if not isinstance(js, dict):  # foreign/corrupt member: skip, don't crash
+        log.warning("non-dict json member for %s; skipping", sample.get("__key__"))
+        return
     if not js or not isinstance(js.get("response"), list):
         log.warning("no valid json response for %s; skipping", sample.get("__key__"))
         return
@@ -314,6 +317,21 @@ def make_data_module(
 ) -> Dict[str, Any]:
     """Reference-parity entry (m2t/data_modules.py:681-717): returns train /
     eval iterator factories keyed off DataArguments paths."""
+
+    def _resume_workers(skip_batches: int, num_workers: int) -> int:
+        if not skip_batches:
+            return num_workers
+        if num_workers > 1:
+            log.warning(
+                "resume fast-forward replays the deterministic single-worker "
+                "stream, but this run is configured with num_workers=%d whose "
+                "merged ordering is thread-timing-dependent — the %d skipped "
+                "batches may not be exactly the ones the interrupted run saw. "
+                "Use num_workers=1 for exact resume.",
+                num_workers,
+                skip_batches,
+            )
+        return 1
     out: Dict[str, Any] = {}
     if data_args.train_data_path:
         out["train_iterator"] = lambda skip_batches=0: make_dataset_iterator(
@@ -326,7 +344,7 @@ def make_data_module(
             is_train=True,
             seed=seed,
             skip_batches=skip_batches,
-            num_workers=(1 if skip_batches else data_args.num_workers),
+            num_workers=_resume_workers(skip_batches, data_args.num_workers),
         )
     if data_args.eval_data_path:
         out["eval_iterator"] = lambda: make_dataset_iterator(

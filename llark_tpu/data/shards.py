@@ -11,10 +11,13 @@ here.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 _BRACE_RE = re.compile(r"\{([^{}]*)\}")
 
@@ -61,13 +64,31 @@ def shard_sample_probs(
     if task_sample_probs is None:
         return None
 
-    def prob(shard: str) -> float:
+    def prob(shard: str) -> Optional[float]:
         for k, p in task_sample_probs.items():
             if k in shard:
                 return p
-        raise ValueError(f"no task probability matches shard {shard!r}")
+        return None
 
-    p = np.array([prob(u) for u in urls], np.float64)
+    raw = [prob(u) for u in urls]
+    if all(r is None for r in raw):
+        # shards aren't named by task (e.g. 'train-000.tar'): task weighting
+        # simply doesn't apply — sample uniformly rather than erroring on
+        # the registry's default probs (reference errors only when the user
+        # EXPLICITLY opted into task sampling, m2t/data_modules.py:441-458)
+        log.warning(
+            "no shard name matches any task in %s; sampling uniformly",
+            sorted(task_sample_probs),
+        )
+        return None
+    missing = [u for u, r in zip(urls, raw) if r is None]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} shard(s) match no task probability "
+            f"(e.g. {missing[0]!r}) while others do — name every shard by "
+            "task or pass --apply_task_sample_probs False"
+        )
+    p = np.asarray(raw, np.float64)
     return p / p.sum()
 
 

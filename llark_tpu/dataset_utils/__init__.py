@@ -98,8 +98,10 @@ def parse_cropped_id(key: str) -> Dict[str, Any]:
 
 
 def wds_key_to_example_id(key: str) -> str:
-    """WDS sample key -> original (uncropped) example id."""
-    return parse_cropped_id(os.path.basename(key))["id"]
+    """WDS sample key -> original (uncropped) example id. Accepts both raw
+    crop ids ('x-start30.000-end60.000') and packer-encoded tar keys
+    ('x-start30_000-end60_000')."""
+    return parse_cropped_id(os.path.basename(wds_key_to_original_id(key)))["id"]
 
 
 def example_id_to_wds_key(example_id: str) -> str:

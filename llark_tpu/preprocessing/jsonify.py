@@ -171,7 +171,19 @@ class MtgJamendoJsonifier(DatasetJsonifier):
     multiple tab-separated trailing columns)."""
 
     def load_raw_data(self) -> None:
-        path = glob.glob(os.path.join(self.input_dir, "*.tsv"))[0]
+        raw = os.path.join(self.input_dir, "raw.tsv")
+        if os.path.exists(raw):
+            path = raw
+        else:
+            candidates = sorted(glob.glob(os.path.join(self.input_dir, "*.tsv")))
+            if not candidates:
+                raise FileNotFoundError(f"no .tsv metadata in {self.input_dir}")
+            path = candidates[0]
+            if len(candidates) > 1:
+                logging.getLogger(__name__).warning(
+                    "multiple tsv files %s; using %s (ship raw.tsv to be explicit)",
+                    [os.path.basename(c) for c in candidates], os.path.basename(path),
+                )
         out = []
         with open(path, encoding="utf-8") as f:
             header = f.readline().rstrip("\n").split("\t")
@@ -184,6 +196,11 @@ class MtgJamendoJsonifier(DatasetJsonifier):
                 row["TAGS"] = parts[n_fixed:]
                 out.append(row)
         self.data = out
+
+
+# registry-wide split names -> FMA's set.split vocabulary
+_FMA_SPLITS = {"train": "training", "val": "validation", "validation": "validation",
+               "test": "test"}
 
 
 class FMAJsonifier(DatasetJsonifier):
@@ -207,7 +224,8 @@ class FMAJsonifier(DatasetJsonifier):
             out = []
             for parts in reader:
                 row = dict(zip(cols, parts))
-                if self.split and row.get("set.split") and row["set.split"] != self.split:
+                want = _FMA_SPLITS.get(self.split, self.split)
+                if want and row.get("set.split") and row["set.split"] != want:
                     continue
                 genre_ids = re.findall(r"\d+", row.get("track.genres", "") or "")
                 out.append(
@@ -232,7 +250,12 @@ class WavCapsJsonifier(DatasetJsonifier):
         for path in sorted(glob.glob(os.path.join(self.input_dir, "*.json"))):
             with open(path) as f:
                 blob = json.load(f)
-            rows = blob.get("data", blob if isinstance(blob, list) else [])
+            if isinstance(blob, dict):
+                rows = blob.get("data", [])
+            elif isinstance(blob, list):
+                rows = blob
+            else:
+                rows = []
             for r in rows:
                 caption = r.get("caption", "")
                 if not keyword_filter(caption):
@@ -276,11 +299,25 @@ class MusicNetJsonifier(DatasetJsonifier):
         if os.path.exists(mpath):
             for r in _read_csv(mpath):
                 meta[r["id"]] = r
+        # split membership from the dataset's own {split}_data/{split}_labels
+        # layout when present. (The reference globs ALL midis regardless of
+        # split, reference jsonify.py:162-197 — train/test leakage we fix.)
+        split_ids = None
+        for layout in (f"{self.split}_data", f"{self.split}_labels"):
+            d = os.path.join(self.input_dir, layout)
+            if os.path.isdir(d):
+                split_ids = {
+                    os.path.splitext(os.path.basename(p))[0]
+                    for p in glob.glob(os.path.join(d, "*"))
+                }
+                break
         out = []
         midi_glob = os.path.join(self.input_dir, "musicnet_midis", "**", "*.mid")
         for path in sorted(glob.glob(midi_glob, recursive=True)):
             track_id = re.match(r"(\d+)", os.path.basename(path))
             track_id = track_id.group(1) if track_id else os.path.basename(path)
+            if split_ids is not None and track_id not in split_ids:
+                continue
             try:
                 with open(path, "rb") as f:
                     notes = parse_midi(f.read())

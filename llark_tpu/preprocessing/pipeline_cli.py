@@ -228,9 +228,13 @@ def cmd_crop_annotations(ns):
         row = by_id.get(str(id_))
         if row is None:
             continue
-        out_rows.append(
-            crop_annotation_row(row, start, end, ns.max_crop_duration)
-        )
+        cropped = crop_annotation_row(row, start, end, ns.max_crop_duration)
+        # re-key to the per-crop id (matching the crop WAV / encoding
+        # filenames) so downstream joins — instruct rows, pack_webdataset's
+        # encoding lookup — resolve, and multicrop rows stay distinct
+        cropped["source_id"] = str(id_)
+        cropped[ns.id_col] = f"{id_}{make_start_end_str(start, end)}"
+        out_rows.append(cropped)
     os.makedirs(os.path.dirname(ns.output) or ".", exist_ok=True)
     with open(ns.output, "w") as f:
         for r in out_rows:

@@ -298,3 +298,37 @@ def jit_train_step(
         out_shardings=(state_shardings, None),
         donate_argnums=(0,),
     )
+
+
+def make_eval_step(
+    cfg: ModelConfig,
+    *,
+    audio_patch_id: int,
+    loss_chunk: Optional[int] = None,
+) -> Callable[[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]]:
+    """Loss-only forward over one eval batch (no grads, no dropout).
+    Same batch contract as make_train_step; returns summed loss*tokens and
+    token count so the caller can average across batches exactly."""
+
+    def eval_step(params, batch):
+        out, _ = llark_forward(
+            cfg,
+            params,
+            batch["input_ids"],
+            audio_encodings=batch.get("audio_encodings"),
+            audio_patch_id=audio_patch_id,
+            audio_frame_counts=batch.get("audio_frame_counts"),
+            seq_lengths=batch.get("seq_lengths"),
+            return_hidden=loss_chunk is not None,
+        )
+        if loss_chunk is not None:
+            from llark_tpu.models.fusion import chunked_causal_lm_loss
+
+            loss, n_tok = chunked_causal_lm_loss(
+                cfg, params, out, batch["labels"], loss_chunk
+            )
+        else:
+            loss, n_tok = causal_lm_loss(out, batch["labels"])
+        return {"loss_sum": loss * n_tok, "num_tokens": n_tok}
+
+    return eval_step

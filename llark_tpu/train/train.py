@@ -350,7 +350,50 @@ def train(
             arrays,
         )
 
+    # periodic eval-loss pass (reference defaults to evaluation_strategy
+    # "no"; enabled here with --eval_steps N + --eval_data_path)
+    eval_every = training_args.eval_steps if "eval_iterator" in data_module else 0
+    eval_fn = None
+    if eval_every:
+        from llark_tpu.train.step import make_eval_step
+
+        eval_fn = jax.jit(
+            make_eval_step(
+                cfg,
+                audio_patch_id=bundle.audio_patch_id,
+                loss_chunk=training_args.loss_chunk or None,
+            )
+        )
+
+    def _pad_eval_batch(b, target):
+        """Pad a partial final eval batch to the fixed global batch shape.
+        Pad rows carry labels=IGNORE_INDEX everywhere, so they add exactly
+        0 to both loss_sum and num_tokens."""
+        from llark_tpu.special_tokens import IGNORE_INDEX
+
+        b = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+        n = next(iter(b.values())).shape[0]
+        if n == target:
+            return b
+        return {
+            k: np.pad(
+                v,
+                [(0, target - n)] + [(0, 0)] * (v.ndim - 1),
+                constant_values=(IGNORE_INDEX if k == "labels" else 0),
+            )
+            for k, v in b.items()
+        }
+
+    def run_eval(params) -> float:
+        total, tokens = 0.0, 0
+        for eb in data_module["eval_iterator"]():
+            m = eval_fn(params, put(_pad_eval_batch(eb, global_batch)))
+            total += float(m["loss_sum"])
+            tokens += int(m["num_tokens"])
+        return total / max(tokens, 1)
+
     history = []
+    eval_history = []
     t_start = time.time()
     t_prev = t_start
     profiling = False
@@ -400,6 +443,10 @@ def train(
                         dt,
                         float(metrics["num_tokens"]) / dt,
                     )
+                if eval_every and (step_i + 1) % eval_every == 0:
+                    ev = run_eval(state.params)
+                    eval_history.append((step_i + 1, ev))
+                    log.info("step %d eval_loss %.4f", step_i + 1, ev)
                 if (step_i + 1) % training_args.save_steps == 0:
                     ckpt.save(step_i + 1, state, {"seed": training_args.seed, "batches_seen": step_i + 1})
                 if guard.triggered:
@@ -430,6 +477,7 @@ def train(
     return {
         "final_step": final_step,
         "losses": history,
+        "eval_losses": eval_history,
         "wall_s": time.time() - t_start,
         "state": state,
         "cfg": cfg,

@@ -51,8 +51,11 @@ def test_task_probs():
         urls, {"captioning": 0.15, "reasoning": 0.55, "mir": 0.30}
     )
     np.testing.assert_allclose(probs, [0.15, 0.55, 0.30])
+    # no shard matches any task -> uniform sampling (None), not an error;
+    # mixed matched/unmatched naming is the error case
+    assert shard_sample_probs(["unknown.tar"], {"mir": 1.0}) is None
     with pytest.raises(ValueError):
-        shard_sample_probs(["unknown.tar"], {"mir": 1.0})
+        shard_sample_probs(["mir-0.tar", "unknown.tar"], {"mir": 1.0})
 
     reps = repeat_shards(urls, {"captioning": 0.15, "reasoning": 0.55, "mir": 0.30})
     assert len(reps) == 1024 * 3

@@ -225,7 +225,9 @@ def test_fma_jsonifier(tmp_path):
         w.writerow(["", "set", "set", "track", "track", "artist", "album"])
         w.writerow(["track_id", "split", "subset", "title", "genres", "name", "title"])
         w.writerow(["", "", "", "", "", "", ""])
-        w.writerow(["2", "train", "small", "Food <b>!</b>", "[21]", "AWOL", "AWOL - A Way Of Life"])
+        # real FMA vocabulary: training/validation/test (the CLI's 'train'
+        # split maps onto 'training')
+        w.writerow(["2", "training", "small", "Food <b>!</b>", "[21]", "AWOL", "AWOL - A Way Of Life"])
         w.writerow(["5", "test", "small", "Other", "[]", "X", "Y"])
     j = get_jsonifier("fma", str(tmp_path), split="train")
     j.load_raw_data()
