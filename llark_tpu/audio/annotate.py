@@ -116,12 +116,15 @@ class ExtractChordEstimates:
 
     def __call__(self, elem: Dict[str, Any]) -> Dict[str, Any]:
         sr = elem["audio_sample_rate"]
-        chroma = chroma_from_audio(elem["audio"], sr, fps=self.fps)
+        chroma, energy = chroma_from_audio(
+            elem["audio"], sr, fps=self.fps, return_energy=True
+        )
         norm = np.linalg.norm(chroma, axis=1, keepdims=True)
         unit = chroma / np.maximum(norm, 1e-9)
         sims = unit @ self.templates.T  # [T, 25]
-        # low-energy frames favor no-chord
-        energy = norm[:, 0]
+        # low-energy frames favor no-chord: use the PRE-normalization frame
+        # energy (normalized chroma rows all have comparable norms, which
+        # made this gate dead — only digital silence ever triggered it)
         sims[:, -1] = np.where(energy < 0.05 * max(energy.max(), 1e-9), 1.0, 0.3)
         emissions = np.log(np.maximum(sims, 1e-6))
         path = viterbi_decode(emissions, self_bias=0.98)

@@ -91,8 +91,6 @@ def track_beats(
     n = len(env)
     if n == 0:
         return np.zeros(0)
-    window = np.arange(-2 * period, -period // 2)
-    txcost = -tightness * (np.log(-window / period) ** 2)
     score = env.copy()
     backlink = np.full(n, -1, np.int64)
     for t in range(period // 2, n):
@@ -118,9 +116,12 @@ def track_beats(
 
 
 def chroma_from_audio(
-    x: np.ndarray, sr: int, fps: float = 10.0, n_fft: int = 8192
-) -> np.ndarray:
-    """Pitch-class energy [frames, 12] at `fps`."""
+    x: np.ndarray, sr: int, fps: float = 10.0, n_fft: int = 8192,
+    return_energy: bool = False,
+):
+    """Pitch-class energy [frames, 12] at `fps`, max-normalized per frame.
+    With return_energy, also returns the PRE-normalization per-frame energy
+    [frames] (the normalized rows carry no loudness information)."""
     hop = int(round(sr / fps))
     mag = _stft_mag(x, n_fft, hop) ** 2
     freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
@@ -133,8 +134,12 @@ def chroma_from_audio(
     for pc in range(12):
         sel = valid & (pcs == pc)
         out[:, pc] = (mag[:, sel] * weight[sel]).sum(axis=1)
+    energy = out.sum(axis=1)
     norm = out.max(axis=1, keepdims=True)
-    return out / np.maximum(norm, 1e-9)
+    chroma = out / np.maximum(norm, 1e-9)
+    if return_energy:
+        return chroma, energy
+    return chroma
 
 
 KRUMHANSL_MAJOR = np.array(

@@ -53,10 +53,14 @@ def _parse_wav_numpy(data: bytes) -> Tuple[np.ndarray, int]:
             if fmt == 0xFFFE and clen >= 40:
                 (fmt,) = struct.unpack_from("<H", data, pos + 32)
         elif cid == b"data":
-            raw = data[pos + 8 : pos + 8 + clen]
+            # clamp to what is actually present (truncated/streaming file)
+            raw = data[pos + 8 : min(pos + 8 + clen, len(data))]
         pos += 8 + clen + (clen & 1)
     if raw is None or not channels:
         raise ValueError("missing fmt/data chunk")
+    if bits in (16, 24, 32, 64):
+        frame = max(1, (bits // 8) * max(channels, 1))
+        raw = raw[: len(raw) - (len(raw) % frame)]  # drop a partial frame
     if fmt == 1:
         if bits == 16:
             x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
@@ -137,15 +141,20 @@ def _resample_numpy(x: np.ndarray, sr_in: int, sr_out: int,
         return x.astype(np.float32)
     ratio = sr_out / sr_in
     cutoff = min(ratio, 1.0) * 0.9475
+    # t is in ZERO-CROSSING units (u = tau * cutoff): the lookup below
+    # indexes by |tau| * cutoff, so the sinc argument is pi * u here —
+    # applying cutoff again would narrow the passband and misscale gain.
     t = np.arange(num_zeros * precision + 1) / precision
-    arg = t * np.pi * cutoff
+    arg = t * np.pi
     sinc = np.ones_like(t)
     sinc[1:] = np.sin(arg[1:]) / arg[1:]
     w = t / t[-1]
     kais = np.i0(beta * np.sqrt(np.maximum(0.0, 1 - w**2))) / np.i0(beta)
     table = (cutoff * sinc * kais).astype(np.float64)
 
-    n_out = int(math.ceil(len(x) * ratio))
+    # integer ceil: float ceil(len*ratio) can land one high (44100->48000
+    # gives 48000.000000000004) and disagree with the native kernel
+    n_out = (len(x) * sr_out + sr_in - 1) // sr_in
     half_width = num_zeros / cutoff
     out = np.zeros(n_out, np.float32)
     xpad = np.concatenate(
@@ -188,7 +197,9 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 
 def peak_normalize(x: np.ndarray) -> np.ndarray:
-    x = np.ascontiguousarray(x, np.float32)
+    """Returns a NEW array on both paths (never mutates the input: the
+    native kernel works in place, so copy first)."""
+    x = np.array(x, np.float32, copy=True, order="C")
     lib = load_library()
     if lib is not None:
         lib.ljt_peak_normalize(

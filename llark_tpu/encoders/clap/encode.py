@@ -82,7 +82,13 @@ class ClapEncoder:
                 audio, CLAP_SAMPLE_RATE, N_FFT, HOP, self.cfg.n_mels, FMIN, FMAX
             )
             mel = mel[:, :n_frames]
-            return htsat_embed(self.cfg, params, mel)
+            emb = htsat_embed(self.cfg, params, mel)
+            # laion_clap get_audio_embedding L2-normalizes after the
+            # projection (the reference stores unit-norm vectors,
+            # clap_embeddings.py:104); htsat_embed itself stays raw to
+            # match HF's audio_embeds for the import parity test.
+            norm = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True)
+            return (emb.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(emb.dtype)
 
         if self.mesh is not None:
             # replicate weights, shard clips over every mesh axis (same

@@ -92,12 +92,16 @@ def build_jukebox_encoder(ns):
         )
         import torch
 
-        vq_sd = strip_module(
-            torch.load(ns.checkpoint, map_location="cpu", weights_only=True)
-        )
-        pr_sd = strip_module(
-            torch.load(ns.prior_checkpoint, map_location="cpu", weights_only=True)
-        )
+        def load_sd(path):
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "model" in sd and not any(
+                "." in k for k in sd  # official ckpts wrap: {"model": state_dict}
+            ):
+                sd = sd["model"]
+            return strip_module(sd)
+
+        vq_sd = load_sd(ns.checkpoint)
+        pr_sd = load_sd(ns.prior_checkpoint)
         vq_cfg = JukeboxVQVAEConfig()
         pr_cfg = infer_prior_config(pr_sd, depth=ns.prior_depth)
         pr_cfg.dtype = "bfloat16"
@@ -165,7 +169,11 @@ def run_jukebox(ns) -> int:
 
 def run_clap(ns) -> int:
     from llark_tpu.audio.io import read_wav
-    from llark_tpu.encoders.clap.encode import ClapEncoder, prepare_clip
+    from llark_tpu.encoders.clap.encode import (
+        ClapEncoder,
+        prepare_clip,
+        quantize_roundtrip,
+    )
 
     mesh = None
     if ns.data_parallel:
@@ -193,11 +201,15 @@ def run_clap(ns) -> int:
     log.info("shard %d/%d: %d files", ns.shard_index, ns.num_shards, len(files))
     t0 = time.time()
     n_done = 0
+    # one RandomState across the run: per-file fresh seeds would make
+    # rand_trunc deterministic-first-window; quantize_roundtrip is part of
+    # the reference parity contract (clap_embeddings.py:127-153)
+    trunc_rng = np.random.RandomState(0)
     for group in _batched(files, ns.batch_size):
         clips = []
         for name in group:
             samples, _ = read_wav(os.path.join(ns.input_dir, name), 48000)
-            clips.append(prepare_clip(samples))
+            clips.append(prepare_clip(quantize_roundtrip(samples), rng=trunc_rng))
         emb = enc.embed_batch(np.stack(clips))
         for i, name in enumerate(group):
             np.save(os.path.join(ns.output_dir, _npy_name(name)),

@@ -179,10 +179,18 @@ class JukeboxEncoder:
         n = audio.shape[0]
         if input_lengths is None:
             input_lengths = np.full((n,), audio.shape[1], np.int64)
+        if self.mesh is not None:
+            # the batch dim is sharded over every mesh axis: pad to a
+            # device multiple (extra rows discarded after readback)
+            mult = self.mesh.devices.size
+            pad = (-n) % mult
+            if pad:
+                audio = np.concatenate([audio, np.zeros((pad,) + audio.shape[1:],
+                                                        audio.dtype)])
         acts = self._encode(
             self.vq_params, self.prior_params, self._prepare_transfer(audio)
         )
-        acts = np.asarray(acts).astype(np.float32)
+        acts = np.asarray(acts).astype(np.float32)[:n]
         return acts, self._frame_counts(input_lengths)
 
     def _frame_counts(self, input_lengths: np.ndarray) -> np.ndarray:
@@ -200,21 +208,27 @@ class JukeboxEncoder:
         host<->device transfers overlap device compute (double buffering).
         Yields (acts fp32, frame_counts) per batch, in order.
         """
-        pending = None  # (device_acts, input_lengths)
+        pending = None  # (device_acts, n_real, input_lengths)
         for audio, input_lengths in batches:
             n = audio.shape[0]
             if input_lengths is None:
                 input_lengths = np.full((n,), audio.shape[1], np.int64)
+            if self.mesh is not None:
+                pad = (-n) % self.mesh.devices.size
+                if pad:
+                    audio = np.concatenate(
+                        [audio, np.zeros((pad,) + audio.shape[1:], audio.dtype)]
+                    )
             dev = self._encode(
                 self.vq_params, self.prior_params, self._prepare_transfer(audio)
             )  # async dispatch
             if pending is not None:
-                acts, lens = pending
-                yield np.asarray(acts).astype(np.float32), self._frame_counts(lens)
-            pending = (dev, input_lengths)
+                acts, n_real, lens = pending
+                yield np.asarray(acts).astype(np.float32)[:n_real], self._frame_counts(lens)
+            pending = (dev, n, input_lengths)
         if pending is not None:
-            acts, lens = pending
-            yield np.asarray(acts).astype(np.float32), self._frame_counts(lens)
+            acts, n_real, lens = pending
+            yield np.asarray(acts).astype(np.float32)[:n_real], self._frame_counts(lens)
 
     def get_acts_from_audio(
         self, audio: np.ndarray, meanpool: bool = True

@@ -53,12 +53,18 @@ def convert_vqvae(sd: Dict[str, Any], cfg: JukeboxVQVAEConfig) -> Dict[str, Any]
     """Map encoder + bottleneck tensors into our vqvae param tree."""
     sd = strip_module(sd)
     levels = []
+    top = cfg.levels - 1
     for level in range(cfg.levels):
-        # jukebox Encoder holds per-level blocks; encoders.{level} has
-        # level_blocks.{0..level}; the *last* block is the new stage chain
-        # for this level. Model indices: per down stage one DownsampleConv
-        # then resnet; final proj conv at the end.
-        block_prefix = f"encoders.{level}.level_blocks.{level}"
+        # jukebox builds an INDEPENDENT full encoder per VQ level:
+        # encoders.{l} chains level_blocks.{0..l} from raw audio (weights
+        # are NOT shared across encoders). Our vqvae.encode_level chains
+        # params levels[0..L], so for the top-level codes — the only level
+        # the reference consumes (jukebox/main.py:54-68 get_z) — every
+        # block must come from the TOP encoder's chain,
+        # encoders.{top}.level_blocks.{0..top}. Taking the diagonal
+        # encoders.{l}.level_blocks.{l} type-checks (all shapes agree) but
+        # composes blocks no codebook was trained with.
+        block_prefix = f"encoders.{top}.level_blocks.{level}"
         stages = []
         for stage_idx in range(cfg.downs_t[level]):
             base = f"{block_prefix}.model.{stage_idx}"

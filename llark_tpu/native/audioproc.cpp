@@ -72,8 +72,12 @@ void ljt_resample(const float* in, long n_in, int sr_in, float* out,
   std::vector<double> table(table_len);
   const double i0b = bessel_i0(beta);
   for (long i = 0; i < table_len; ++i) {
-    const double t = (double)i / precision;  // in zero-crossing units
-    const double x = t * M_PI * cutoff;
+    // t is in ZERO-CROSSING units (u = tau * cutoff): the runtime lookup
+    // below indexes by d = |t_in - i| * cutoff, so the sinc argument here
+    // is pi * u — applying cutoff again would narrow the passband and
+    // misscale the gain (h(tau) must be cutoff * sinc(pi * cutoff * tau)).
+    const double t = (double)i / precision;
+    const double x = t * M_PI;
     const double sinc = (i == 0) ? 1.0 : std::sin(x) / x;
     const double w = (double)i / (double)(table_len - 1);  // 0..1
     const double kais = bessel_i0(beta * std::sqrt(1.0 - w * w)) / i0b;

@@ -1,0 +1,156 @@
+"""Regression tests for encoder/audio review findings."""
+
+import numpy as np
+import pytest
+
+from llark_tpu.audio.io import (
+    _parse_wav_numpy,
+    _resample_numpy,
+    peak_normalize,
+    resample,
+    write_wav,
+)
+
+
+@pytest.mark.parametrize("pair", [(44100, 48000), (48000, 44100), (22050, 44100)])
+def test_resampler_unity_gain_in_band(pair):
+    """Windowed-sinc resample must be ~unit gain across the passband (the
+    old table applied cutoff twice: +5.5%/-37% errors)."""
+    sr_in, sr_out = pair
+    t = np.arange(sr_in) / sr_in
+    for f in (440, 1000, 8000):
+        x = np.sin(2 * np.pi * f * t).astype(np.float32)
+        for fn in (resample, _resample_numpy):
+            y = np.asarray(fn(x, sr_in, sr_out))
+            mid = y[len(y) // 4 : 3 * len(y) // 4]
+            # RMS-derived amplitude: robust to sample-phase alignment
+            # (a high tone's sampled PEAK can sit well below 1.0)
+            amp = np.sqrt(2.0) * np.sqrt(np.mean(mid.astype(np.float64) ** 2))
+            assert abs(amp - 1.0) < 0.02, (fn.__name__, pair, f, amp)
+
+
+def test_resampler_native_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.randn(44100).astype(np.float32) * 0.3
+    a = resample(x, 44100, 48000)
+    b = _resample_numpy(x, 44100, 48000)
+    assert a.shape == b.shape
+    # interiors match tightly; edge samples differ by boundary handling
+    n = len(a)
+    np.testing.assert_allclose(a[n // 8 : -n // 8], b[n // 8 : -n // 8], atol=1e-4)
+
+
+def test_peak_normalize_does_not_mutate_input():
+    x = np.array([0.5, -0.25, 0.1], np.float32)
+    orig = x.copy()
+    y = peak_normalize(x)
+    np.testing.assert_array_equal(x, orig)
+    assert abs(float(np.abs(y).max()) - 1.0) < 1e-6
+
+
+def test_truncated_wav_decodes_available_frames(tmp_path):
+    sr = 8000
+    x = np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+    p = tmp_path / "full.wav"
+    write_wav(str(p), x, sr)
+    data = p.read_bytes()
+    cut = data[: len(data) - 501]  # mid-frame truncation (odd byte count)
+    y, got_sr = _parse_wav_numpy(cut)
+    assert got_sr == sr
+    assert 0 < len(y) < len(x)
+    np.testing.assert_allclose(y, x[: len(y)], atol=2e-4)
+
+
+def test_vqvae_import_uses_top_encoder_chain():
+    """Every block of the imported encode chain must come from the TOP
+    encoder (encoders.{L-1}); the diagonal composition type-checks but is
+    a chain no codebook was trained with."""
+    from llark_tpu.encoders.jukebox.config import JukeboxVQVAEConfig
+    from llark_tpu.encoders.jukebox.import_torch import convert_vqvae
+
+    cfg = JukeboxVQVAEConfig.tiny()
+    sd = {}
+    for e in range(cfg.levels):
+        for b in range(e + 1):  # encoder e chains level_blocks 0..e
+            for s in range(cfg.downs_t[b]):
+                base = f"encoders.{e}.level_blocks.{b}.model.{s}"
+                c_in = 1 if b == 0 and s == 0 else (
+                    cfg.emb_width if s == 0 else cfg.width
+                )
+                mark = float(e * 10 + b)
+                sd[f"{base}.0.weight"] = np.full(
+                    (cfg.width, c_in, cfg.strides_t[b] * 2), mark, np.float32)
+                sd[f"{base}.0.bias"] = np.zeros((cfg.width,), np.float32)
+                for d in range(cfg.depth):
+                    r = f"{base}.1.model.{d}.model"
+                    sd[f"{r}.1.weight"] = np.full(
+                        (cfg.width, cfg.width, 3), mark, np.float32)
+                    sd[f"{r}.1.bias"] = np.zeros((cfg.width,), np.float32)
+                    sd[f"{r}.3.weight"] = np.full(
+                        (cfg.width, cfg.width, 1), mark, np.float32)
+                    sd[f"{r}.3.bias"] = np.zeros((cfg.width,), np.float32)
+            proj = f"encoders.{e}.level_blocks.{b}.model.{cfg.downs_t[b]}"
+            sd[f"{proj}.weight"] = np.full(
+                (cfg.emb_width, cfg.width, 3), float(e * 10 + b), np.float32)
+            sd[f"{proj}.bias"] = np.zeros((cfg.emb_width,), np.float32)
+    for l in range(cfg.levels):
+        sd[f"bottleneck.level_blocks.{l}.k"] = np.zeros(
+            (cfg.l_bins, cfg.emb_width), np.float32)
+    params = convert_vqvae(sd, cfg)
+    top = cfg.levels - 1
+    for l in range(cfg.levels):
+        got = float(params["levels"][l]["stages"][0]["down_w"].reshape(-1)[0])
+        assert got == top * 10 + l, (l, got)
+
+
+def test_clap_embeddings_unit_norm():
+    from llark_tpu.encoders.clap.encode import ClapEncoder
+    from llark_tpu.encoders.clap.htsat import HTSATConfig
+
+    enc = ClapEncoder.random_init(HTSATConfig.tiny())
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, 48000).astype(np.float32) * 0.1
+    emb = enc.embed_batch(audio)
+    norms = np.linalg.norm(emb, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_chords_no_chord_on_quiet_segment():
+    from llark_tpu.audio.annotate import ExtractChordEstimates
+
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    # C major triad for 1.5 s, then near-silence
+    loud = 0.4 * (np.sin(2 * np.pi * 261.63 * t) + np.sin(2 * np.pi * 329.63 * t)
+                  + np.sin(2 * np.pi * 392.0 * t))
+    x = np.where(t < 1.5, loud, 1e-4 * np.sin(2 * np.pi * 261.63 * t))
+    elem = {"audio": x.astype(np.float32), "audio_sample_rate": sr}
+    out = ExtractChordEstimates()(elem)
+    labels = {s["chord"] for s in out["chords"]}
+    assert "no chord" in labels
+    assert any("major" in l or "minor" in l for l in labels)
+
+
+def test_jukebox_mesh_pads_odd_batches():
+    """--data-parallel sharding requires batch % devices == 0; the encoder
+    must pad internally instead of crashing on odd batch sizes."""
+    import jax
+
+    from llark_tpu.encoders.jukebox.config import (
+        JukeboxPriorConfig,
+        JukeboxVQVAEConfig,
+    )
+    from llark_tpu.encoders.jukebox.encode import JukeboxEncoder
+    from llark_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((len(jax.devices()), 1, 1))
+    enc = JukeboxEncoder.random_init(
+        JukeboxVQVAEConfig.tiny(), JukeboxPriorConfig.tiny(), mesh=mesh
+    )
+    rng = np.random.RandomState(0)
+    audio = rng.randn(3, enc.samples_per_ctx).astype(np.float32)  # 3 % 8 != 0
+    acts, counts = enc.encode_batch(audio)
+    assert acts.shape[0] == 3 and counts.shape == (3,)
+    # streaming path pads too
+    outs = list(enc.encode_stream(iter([(audio, None)])))
+    assert outs[0][0].shape[0] == 3
