@@ -387,6 +387,7 @@ def decoder_forward(
     dropout_rng: Optional[jax.Array] = None,  # enables LoRA dropout (training)
     prefix_lengths: Optional[jnp.ndarray] = None,  # [B] prefix-LM boundaries
     prefill_from_empty: bool = False,  # static: this call fills an EMPTY cache
+    trainable_token_start: Optional[int] = None,  # tied-LM-head freeze boundary
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_kv_cache|None).
 
@@ -474,7 +475,7 @@ def decoder_forward(
     if return_hidden:
         return x, new_cache
 
-    logits = compute_logits(cfg, params, x)
+    logits = compute_logits(cfg, params, x, trainable_token_start)
     return logits, new_cache
 
 
@@ -482,11 +483,29 @@ def embed_tokens(cfg: ModelConfig, params: Params, input_ids: jnp.ndarray) -> jn
     return jnp.take(params["embed"], input_ids, axis=0).astype(jnp.dtype(cfg.dtype))
 
 
-def compute_logits(cfg: ModelConfig, params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    """LM head; tied to the embedding for MPT (reference: m2t/models/mpt.py:312)."""
+def compute_logits(
+    cfg: ModelConfig,
+    params: Params,
+    hidden: jnp.ndarray,
+    trainable_token_start: Optional[int] = None,
+) -> jnp.ndarray:
+    """LM head; tied to the embedding for MPT (reference: m2t/models/mpt.py:312).
+
+    With tied embeddings the LM head IS the embedding table, so the
+    adapter-stage freeze (`trainable_token_start`: only appended audio-token
+    rows train) must also stop gradients here — the input-side detach in
+    build_inputs_embeds alone would let head gradients drift every
+    original-vocab row."""
     dtype = hidden.dtype
     if cfg.tie_embeddings:
-        w = params["embed"].astype(dtype)  # [V, H]
+        w = params["embed"]  # [V, H]
+        if trainable_token_start is not None:
+            w = jnp.concatenate(
+                [jax.lax.stop_gradient(w[:trainable_token_start]),
+                 w[trainable_token_start:]],
+                axis=0,
+            )
+        w = w.astype(dtype)
         return jnp.einsum("bsh,vh->bsv", hidden, w, preferred_element_type=jnp.float32)
     w = params["lm_head"]  # [H, V]
     if isinstance(w, dict):

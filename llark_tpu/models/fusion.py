@@ -151,6 +151,7 @@ def llark_forward(
         kv_cache=kv_cache,
         return_hidden=return_hidden,
         dropout_rng=dropout_rng,
+        trainable_token_start=trainable_token_start,
     )
 
 
@@ -177,6 +178,7 @@ def chunked_causal_lm_loss(
     hidden: jnp.ndarray,  # [B, S, H] final decoder hidden states
     labels: jnp.ndarray,  # [B, S]
     chunk: int = 512,
+    trainable_token_start: Optional[int] = None,  # tied-LM-head freeze boundary
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """causal_lm_loss without ever materializing the [B, S, V] logits:
     the LM head + log-softmax run per sequence chunk inside a remat'd
@@ -197,7 +199,7 @@ def chunked_causal_lm_loss(
     def body(carry, xs):
         ll_sum, n_valid = carry
         h_c, y_c = xs
-        logits = compute_logits(cfg, params, h_c).astype(jnp.float32)
+        logits = compute_logits(cfg, params, h_c, trainable_token_start).astype(jnp.float32)
         valid = y_c != IGNORE_INDEX
         safe = jnp.where(valid, y_c, 0)
         lp = jax.nn.log_softmax(logits, axis=-1)

@@ -77,7 +77,13 @@ def load_pretrained_model(
     # exactly, and inference doesn't know the optimizer structure.
     restored = mgr.restore(step)
     mgr.close()
-    params = jax.tree.map(
-        lambda t, x: jax.numpy.asarray(x, t.dtype), template, restored["params"]
-    )
+    try:
+        params = jax.tree.map(
+            lambda t, x: jax.numpy.asarray(x, t.dtype), template, restored["params"]
+        )
+    except ValueError:
+        # the stored tree diverged from a plain init (LoRA factor leaves,
+        # int8/int4 quantized {q, scale} dicts): trust its own structure
+        # and dtypes — the decoder consumes those leaf forms natively
+        params = jax.tree.map(jax.numpy.asarray, restored["params"])
     return cfg, params, bundle

@@ -189,6 +189,10 @@ def _flash_fwd_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)  # [block_q, block_k]
+        # a fully-masked row has s == m_new == MASK_VALUE, making exp() == 1
+        # per entry; zero masked probabilities so l stays 0 there and the
+        # l==0 guard below actually yields zeros instead of mean(V)
+        p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)  # [block_q, 1]
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(

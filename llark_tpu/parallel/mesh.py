@@ -158,8 +158,10 @@ def param_shardings(mesh: Mesh, specs) -> Any:
     )
 
 
-def batch_sharding(mesh: Mesh, ndim_specs: Optional[Dict[str, int]] = None):
-    """NamedSharding for a host batch dict: batch dim over (data, fsdp)."""
+def batch_sharding(mesh: Mesh):
+    """NamedSharding factory for a host batch dict: dim 0 over (data, fsdp),
+    everything else replicated. The single source of the batch-layout rule —
+    train.py and any serving path should use this, not re-derive it."""
 
     def shard_for(x):
         nd = x.ndim if hasattr(x, "ndim") else 0

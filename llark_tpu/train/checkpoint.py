@@ -71,22 +71,33 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
+        # save() always includes data_state, so restore against the full
+        # template; the no-data_state retry only covers checkpoints written
+        # by older revisions, and a failure there surfaces BOTH errors
+        # instead of masking the first.
         template = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": state.step,
+            "data_state": {"seed": 0, "batches_seen": 0},
         }
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template)
             )
-            data_state = None
-        except Exception:
-            template["data_state"] = {"seed": 0, "batches_seen": 0}
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(template)
-            )
             data_state = restored.get("data_state")
+        except Exception as first_err:
+            template.pop("data_state")
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(template)
+                )
+                data_state = None
+            except Exception as second_err:
+                raise RuntimeError(
+                    f"checkpoint restore failed with data_state "
+                    f"({first_err!r}) and without ({second_err!r})"
+                ) from first_err
         new_state = state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

@@ -27,7 +27,10 @@ from llark_tpu.train.state import TrainState
 
 
 def lr_schedule(args: TrainingArguments) -> optax.Schedule:
+    """HF lr_scheduler_type semantics: warmup to peak, then decay.
+    cosine/linear decay to 0; 'constant'/'constant_with_warmup' hold peak."""
     warmup = max(1, int(args.max_steps * args.warmup_ratio))
+    decay = max(args.max_steps - warmup, 1)
     if args.lr_scheduler_type == "cosine":
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
@@ -36,7 +39,27 @@ def lr_schedule(args: TrainingArguments) -> optax.Schedule:
             decay_steps=max(args.max_steps, warmup + 1),
             end_value=0.0,
         )
-    return optax.linear_schedule(args.learning_rate, args.learning_rate, 1)
+    if args.lr_scheduler_type == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, args.learning_rate, warmup),
+                optax.linear_schedule(args.learning_rate, 0.0, decay),
+            ],
+            boundaries=[warmup],
+        )
+    if args.lr_scheduler_type in ("constant", "constant_with_warmup"):
+        w = warmup if args.lr_scheduler_type == "constant_with_warmup" else 1
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, args.learning_rate, w),
+                optax.constant_schedule(args.learning_rate),
+            ],
+            boundaries=[w],
+        )
+    raise ValueError(
+        f"unknown lr_scheduler_type {args.lr_scheduler_type!r}; "
+        "use cosine | linear | constant | constant_with_warmup"
+    )
 
 
 def trainable_mask(
@@ -179,7 +202,8 @@ def make_train_step(
             from llark_tpu.models.fusion import chunked_causal_lm_loss
 
             loss, n_tok = chunked_causal_lm_loss(
-                cfg, params, out, micro["labels"], loss_chunk
+                cfg, params, out, micro["labels"], loss_chunk,
+                trainable_token_start=trainable_token_start,
             )
         else:
             loss, n_tok = causal_lm_loss(out, micro["labels"])
@@ -187,6 +211,37 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     use_dropout = dropout_seed is not None and cfg.lora_dropout > 0.0
+
+    def accumulate(g_fn, leaves, batch, rng):
+        """(loss, n_tok, grads) for g_fn(leaves, micro, rng), averaged over
+        grad_accum_steps micro-batches inside a lax.scan (one shared
+        implementation for the plain and partitioned paths)."""
+        if grad_accum_steps <= 1:
+            (loss, n_tok), grads = g_fn(leaves, batch, rng)
+            return loss, n_tok, grads
+
+        def reshape(x):
+            return x.reshape(
+                (grad_accum_steps, x.shape[0] // grad_accum_steps) + x.shape[1:]
+            )
+
+        micro_batches = jax.tree.map(reshape, batch)
+
+        def accum(carry, xs):
+            g_acc, loss_acc, tok_acc, i = carry
+            mrng = jax.random.fold_in(rng, i) if rng is not None else None
+            (loss, n_tok), g = g_fn(leaves, xs, mrng)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, loss_acc + loss, tok_acc + n_tok, i + 1), None
+
+        zeros = jax.tree.map(jnp.zeros_like, leaves)
+        (g_sum, loss_sum, tok_sum, _), _ = jax.lax.scan(
+            accum,
+            (zeros, 0.0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            micro_batches,
+        )
+        grads = jax.tree.map(lambda g: g / grad_accum_steps, g_sum)
+        return loss_sum / grad_accum_steps, tok_sum, grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng = (
@@ -196,32 +251,7 @@ def make_train_step(
         )
         if partition is not None:
             return _partitioned_step(state, batch, rng)
-        if grad_accum_steps > 1:
-            def reshape(x):
-                return x.reshape((grad_accum_steps, x.shape[0] // grad_accum_steps) + x.shape[1:])
-
-            micro_batches = jax.tree.map(reshape, batch)
-
-            def accum(carry, xs):
-                g_acc, loss_acc, tok_acc, i = carry
-                micro = xs
-                mrng = jax.random.fold_in(rng, i) if rng is not None else None
-                (loss, n_tok), g = grad_fn(state.params, micro, mrng)
-                g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, loss_acc + loss, tok_acc + n_tok, i + 1), None
-
-            zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (g_sum, loss_sum, tok_sum, _), _ = jax.lax.scan(
-                accum,
-                (zeros, 0.0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-                micro_batches,
-            )
-            grads = jax.tree.map(lambda g: g / grad_accum_steps, g_sum)
-            loss = loss_sum / grad_accum_steps
-            n_tok = tok_sum
-        else:
-            (loss, n_tok), grads = grad_fn(state.params, batch, rng)
-
+        loss, n_tok, grads = accumulate(grad_fn, state.params, batch, rng)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -241,34 +271,7 @@ def make_train_step(
             return loss_fn(params, micro, mrng)
 
         part_grad = jax.value_and_grad(part_loss, has_aux=True)
-
-        if grad_accum_steps > 1:
-            def reshape(x):
-                return x.reshape(
-                    (grad_accum_steps, x.shape[0] // grad_accum_steps) + x.shape[1:]
-                )
-
-            micro_batches = jax.tree.map(reshape, batch)
-
-            def accum(carry, xs):
-                g_acc, loss_acc, tok_acc, i = carry
-                mrng = jax.random.fold_in(rng, i) if rng is not None else None
-                (loss, n_tok), g = part_grad(train_leaves, xs, mrng)
-                g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, loss_acc + loss, tok_acc + n_tok, i + 1), None
-
-            zeros = jax.tree.map(jnp.zeros_like, train_leaves)
-            (g_sum, loss_sum, tok_sum, _), _ = jax.lax.scan(
-                accum,
-                (zeros, 0.0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-                micro_batches,
-            )
-            grads = jax.tree.map(lambda g: g / grad_accum_steps, g_sum)
-            loss = loss_sum / grad_accum_steps
-            n_tok = tok_sum
-        else:
-            (loss, n_tok), grads = part_grad(train_leaves, batch, rng)
-
+        loss, n_tok, grads = accumulate(part_grad, train_leaves, batch, rng)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, train_leaves)
         new_train = optax.apply_updates(train_leaves, updates)
         new_params = partition.rebuild(state.params, new_train)

@@ -37,6 +37,7 @@ from llark_tpu.models.fusion import init_llark_params
 from llark_tpu.parallel.mesh import (
     AXES,
     adapt_specs_to_params,
+    batch_sharding,
     make_mesh,
     param_partition_specs,
     shard_params,
@@ -161,6 +162,18 @@ def smoke_test_batch(batch: Dict[str, np.ndarray]) -> None:
     assert batch["audio_encodings"].ndim == 3
 
 
+def compute_global_batch(training_args, mesh) -> int:
+    """Rows per optimizer step. The batch rides only the (data, fsdp) axes;
+    counting the tensor axis would silently inflate the effective batch
+    (and per-chip activation memory) by the TP factor."""
+    n_batch_shards = mesh.shape[AXES.data] * mesh.shape[AXES.fsdp]
+    return (
+        training_args.per_device_train_batch_size
+        * training_args.gradient_accumulation_steps
+        * n_batch_shards
+    )
+
+
 def train(
     model_args: ModelArguments,
     data_args: DataArguments,
@@ -197,10 +210,6 @@ def train(
     bundle = build_tokenizer(model_args, training_args)
     if cfg.vocab_size < len(bundle.tokenizer):
         cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
-
-    from llark_tpu.models.utils import save_model_metadata
-
-    save_model_metadata(training_args.output_dir, cfg, bundle)
 
     mesh = make_mesh(tuple(training_args.mesh_shape)) if np.prod(
         training_args.mesh_shape
@@ -254,6 +263,14 @@ def train(
 
         params = quantize_params_int8_incremental(cfg, params)
         log.info("quantized frozen base weights to int8")
+
+    # write the self-describing metadata only after every cfg mutation
+    # (lora_rank/alpha/dropout above) so load_pretrained_model rebuilds the
+    # architecture the checkpoint was actually trained with
+    from llark_tpu.models.utils import save_model_metadata
+
+    save_model_metadata(training_args.output_dir, cfg, bundle)
+
     specs = adapt_specs_to_params(param_partition_specs(cfg), params)
     params = shard_params(mesh, params, specs)
 
@@ -262,6 +279,7 @@ def train(
         or model_args.tune_mm_mlp_adapter
         or training_args.lora_enable
     )
+    param_partition = None
     if partitioned:
         from llark_tpu.train.step import ParamPartition, trainable_mask
 
@@ -273,10 +291,7 @@ def train(
             freeze_mm_mlp_adapter=training_args.freeze_mm_mlp_adapter,
         )
         param_partition = ParamPartition(params, mask)
-        optimizer = make_optimizer(training_args, params)  # plain core
-    else:
-        param_partition = None
-        optimizer = make_optimizer(training_args, params)
+    optimizer = make_optimizer(training_args, params)
 
     def ensure_on_mesh(x):
         """Replicate any leaf not already laid out on this mesh (opt counts,
@@ -323,11 +338,7 @@ def train(
             start_step = int(state.step)
             log.info("resumed from checkpoint at step %d", start_step)
 
-    global_batch = (
-        training_args.per_device_train_batch_size
-        * training_args.gradient_accumulation_steps
-        * mesh.devices.size
-    )
+    global_batch = compute_global_batch(training_args, mesh)
     data_module = make_data_module(
         bundle,
         data_args,
@@ -341,14 +352,11 @@ def train(
     # of data-iterator position)
     iterator = data_module["train_iterator"](skip_batches=start_step)
 
+    shard_for = batch_sharding(mesh)
+
     def put(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        return jax.tree.map(
-            lambda x: jax.device_put(
-                x, NamedSharding(mesh, P(AXES.batch, *([None] * (x.ndim - 1))))
-            ),
-            arrays,
-        )
+        return jax.tree.map(lambda x: jax.device_put(x, shard_for(x)), arrays)
 
     # periodic eval-loss pass (reference defaults to evaluation_strategy
     # "no"; enabled here with --eval_steps N + --eval_data_path)
