@@ -75,13 +75,34 @@ class TarShardReader:
         self.handler = handler  # "warn" | "raise"
         self.use_native = use_native and not os.environ.get("LLARK_TPU_NO_NATIVE_TAR")
 
+    @staticmethod
+    def _native_parsable(path: str) -> bool:
+        """The C++ loader reads raw ustar only: gzipped (.tar.gz magic
+        0x1f8b), missing, or short files would silently yield ZERO samples
+        there, while the Python tarfile path handles them transparently."""
+        try:
+            with open(path, "rb") as f:
+                head = f.read(512)
+        except OSError:
+            return False
+        if len(head) < 512 or head[:2] == b"\x1f\x8b":
+            return False
+        return head[257:262] == b"ustar"
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.use_native and self.handler != "raise":
             from llark_tpu.native import tarloader
 
             if tarloader.available():
-                yield from self._iter_native(tarloader)
-                return
+                bad = [p for p in self.paths if not self._native_parsable(p)]
+                if not bad:
+                    yield from self._iter_native(tarloader)
+                    return
+                log.warning(
+                    "native tar loader cannot parse %s (gzipped/missing/"
+                    "short); using the Python reader for all %d shard(s)",
+                    bad[0], len(self.paths),
+                )
         for path in self.paths:
             try:
                 yield from self._iter_shard(path)

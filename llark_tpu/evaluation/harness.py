@@ -79,8 +79,12 @@ def cmd_key(ns):
     labels = load_labels(ns.labels, ns.id_col)
     pairs = _join(results, labels, ns.label_col)
     scores = [mirex_key_score(pred, truth) for pred, truth in pairs]
+    # unparseable-on-both-sides must not count as a hit (None == None)
     exact = [
-        float(map_keys_to_giantsteps(pred) == map_keys_to_giantsteps(truth))
+        float(
+            map_keys_to_giantsteps(truth) is not None
+            and map_keys_to_giantsteps(pred) == map_keys_to_giantsteps(truth)
+        )
         for pred, truth in pairs
     ]
     print(
@@ -116,7 +120,9 @@ def cmd_tempo(ns):
 def cmd_instruments(ns):
     results = load_results(ns.results)
     labels = load_labels(ns.labels, ns.id_col)
-    vocab = [v.strip() for v in ns.vocab.split(",")]
+    # lowercase both sides (cmd_genre semantics): 'Violin' labels with a
+    # 'violin' vocab scored 0.0 case-sensitively
+    vocab = [v.strip().lower() for v in ns.vocab.split(",")]
     scores = []
     for r in results:
         lab = labels.get(str(r["example_id"]))
@@ -125,7 +131,8 @@ def cmd_instruments(ns):
         truth = lab[ns.label_col]
         if isinstance(truth, str):
             truth = [t.strip() for t in truth.split(",")]
-        pred = extract_instruments(r["model_completion"], vocab)
+        truth = [str(t).lower() for t in truth]
+        pred = [p.lower() for p in extract_instruments(r["model_completion"], vocab)]
         scores.append(set_f1(pred, truth))
     center, half = bootstrap_ci(scores)
     print(

@@ -109,13 +109,16 @@ def normalize_key_string(text: str) -> Optional[Tuple[int, str]]:
     t = strip_completion(text).lower().replace("♭", "b").replace("♯", "#")
     t = re.sub(r"\b([a-g])[ -]?sharp\b", r"\1#", t)
     t = re.sub(r"\b([a-g])[ -]?flat\b", r"\1b", t)
-    m = re.search(
-        r"\b([a-g][#b]?)\s*[- ]?\s*(major|minor|maj\b|min\b|m\b)?", t
-    )
-    if not m:
-        return None
-    note = m.group(1)
-    mode_raw = (m.group(2) or "major").strip()
+    # prefer a note WITH an explicit mode ("c minor"); a bare-note fallback
+    # must be a standalone word, or 'Based'/'Dark' parse as B/D keys
+    m = re.search(r"\b([a-g][#b]?)\s*[- ]?\s*(major|minor|maj\b|min\b|m\b)", t)
+    if m:
+        note, mode_raw = m.group(1), m.group(2).strip()
+    else:
+        m = re.search(r"\b([a-g][#b]?)(?![a-z#])", t)
+        if not m:
+            return None
+        note, mode_raw = m.group(1), "major"
     mode = "minor" if mode_raw in ("minor", "min", "m") else "major"
     pc = _NOTE_TO_PC.get(note)
     if pc is None:
@@ -144,7 +147,9 @@ def mirex_key_score(predicted: str, truth: str) -> float:
     (ppc, pmode), (tpc, tmode) = p, t
     if (ppc, pmode) == (tpc, tmode):
         return 1.0
-    if pmode == tmode and (ppc - tpc) % 12 in (5, 7):
+    # fifth credit only for the fifth ABOVE the truth (mir_eval semantics;
+    # accepting 5 as well doubled the credit window and inflated scores)
+    if pmode == tmode and (ppc - tpc) % 12 == 7:
         return 0.5
     if pmode != tmode:
         # relative: minor is 9 semitones above its relative major
@@ -161,16 +166,22 @@ def mirex_key_score(predicted: str, truth: str) -> float:
 # tempo evaluation (GiantSteps)
 # ---------------------------------------------------------------------------
 
-_BPM_RE = re.compile(r"(\d{2,3}(?:\.\d+)?)\s*(?:bpm|beats per minute|beats/min)?",
-                     re.IGNORECASE)
+_BPM_UNIT_RE = re.compile(
+    r"(\d{2,3}(?:\.\d+)?)\s*(?:bpm|beats per minute|beats/min)", re.IGNORECASE
+)
+_BPM_BARE_RE = re.compile(r"(?<![\d.])(\d{2,3}(?:\.\d+)?)(?![\ds])")
 
 
 def parse_bpm(text: str) -> Optional[float]:
-    """Extract the first plausible BPM value from a completion."""
-    for m in _BPM_RE.finditer(strip_completion(text)):
-        v = float(m.group(1))
-        if 30.0 <= v <= 300.0:
-            return v
+    """Extract a plausible BPM value from a completion. Numbers with an
+    explicit unit win over bare numbers (else '1970s rock ... 120 BPM'
+    parses as 197); bare-number fallback skips decade-like '1970s'."""
+    t = strip_completion(text)
+    for regex in (_BPM_UNIT_RE, _BPM_BARE_RE):
+        for m in regex.finditer(t):
+            v = float(m.group(1))
+            if 30.0 <= v <= 300.0:
+                return v
     return None
 
 

@@ -44,6 +44,19 @@ def build_prompt_ids(
     return extract_prompt_tokens(ids, end_seq)
 
 
+def _normalize_encoding(
+    audio_encoding: np.ndarray, max_audio_frames: Optional[int]
+) -> np.ndarray:
+    """[T, mm] or [1, T, mm] -> f32 [T', mm], frame-capped (shared by the
+    one-at-a-time and continuous batch paths)."""
+    enc = np.asarray(audio_encoding, np.float32)
+    if enc.ndim == 3 and enc.shape[0] == 1:
+        enc = enc[0]
+    if max_audio_frames is not None:
+        enc = enc[:max_audio_frames]
+    return enc
+
+
 def infer_with_prompt(
     prompt: str,
     audio_encoding: np.ndarray,  # [T, mm] (or [1, T, mm])
@@ -56,11 +69,7 @@ def infer_with_prompt(
     rng=None,
 ) -> str:
     """Generate a completion for one (prompt, audio) pair. Returns text."""
-    enc = np.asarray(audio_encoding, np.float32)
-    if enc.ndim == 3 and enc.shape[0] == 1:
-        enc = enc[0]
-    if max_audio_frames is not None:
-        enc = enc[:max_audio_frames]
+    enc = _normalize_encoding(audio_encoding, max_audio_frames)
     t = enc.shape[0]
 
     ids = build_prompt_ids(prompt, t, bundle, audio_first)
@@ -92,7 +101,10 @@ def batch_infer(
     """Run inference over rows of {example_id, prompt?, response?, audio_encoding}.
     Returns CSV-ready dicts (reference: scripts/inference/infer_from_webdataset.py:82-151)."""
     results = []
-    for row in rows:
+    import jax
+
+    base_key = jax.random.PRNGKey(0)
+    for i, row in enumerate(rows):
         prompt = prompt_override or row.get("prompt") or "Describe the audio."
         completion = infer_with_prompt(
             prompt,
@@ -100,6 +112,9 @@ def batch_infer(
             generator,
             bundle,
             max_audio_frames=max_audio_frames,
+            # per-row key: with temperature > 0 a shared default key would
+            # draw the identical "sample" for identical rows
+            rng=jax.random.fold_in(base_key, i),
         )
         results.append(
             {
@@ -149,10 +164,7 @@ def batch_infer_continuous(
     prompts: List[str] = []
     for row in rows:
         prompt = prompt_override or row.get("prompt") or "Describe the audio."
-        enc = np.asarray(row["audio_encoding"], np.float32)
-        if enc.ndim == 3 and enc.shape[0] == 1:
-            enc = enc[0]
-        enc = enc[:max_audio_frames]
+        enc = _normalize_encoding(row["audio_encoding"], max_audio_frames)
         ids = build_prompt_ids(prompt, enc.shape[0], bundle, audio_first=True)
         requests.append(Request(np.asarray(ids, np.int32), enc))
         prompts.append(prompt)

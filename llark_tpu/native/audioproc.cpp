@@ -120,13 +120,16 @@ int ljt_parse_wav(const uint8_t* data, long n_bytes, float* out,
   while (pos + 8 <= n_bytes) {
     const uint32_t chunk_len = *(const uint32_t*)(data + pos + 4);
     if (!std::memcmp(data + pos, "fmt ", 4)) {
+      // bounds-check the fmt payload against BOTH the declared chunk
+      // length and the actual buffer (truncated/hostile files)
+      if (chunk_len < 16 || pos + 8 + 16 > n_bytes) return -1;
       const uint8_t* f = data + pos + 8;
       fmt = *(const uint16_t*)f;
       channels = *(const uint16_t*)(f + 2);
       sr = *(const int32_t*)(f + 4);
       bits = *(const uint16_t*)(f + 14);
-      if (fmt == 0xFFFE && chunk_len >= 40) {  // WAVE_FORMAT_EXTENSIBLE
-        fmt = *(const uint16_t*)(f + 24);
+      if (fmt == 0xFFFE && chunk_len >= 40 && pos + 8 + 26 <= n_bytes) {
+        fmt = *(const uint16_t*)(f + 24);  // WAVE_FORMAT_EXTENSIBLE
       }
     } else if (!std::memcmp(data + pos, "data", 4)) {
       data_off = pos + 8;
@@ -137,6 +140,7 @@ int ljt_parse_wav(const uint8_t* data, long n_bytes, float* out,
   }
   if (!channels || !sr || data_off < 0) return -2;
   const int bytes_per = bits / 8;
+  if (bytes_per <= 0) return -3;  // bits < 8 would divide by zero (SIGFPE)
   const long frames = data_len / (bytes_per * channels);
   *n_frames = frames;
   *n_channels = channels;

@@ -259,3 +259,29 @@ def test_harness_cli(tmp_path):
           "--label-set", "metal,classical"])
     main(["key", "--results", str(results), "--labels", str(labels)])
     main(["tempo", "--results", str(results), "--labels", str(labels)])
+
+
+def test_key_parse_word_initials_not_keys():
+    from llark_tpu.evaluation.utils import mirex_key_score, normalize_key_string
+
+    # 'Based'/'Dark' must not parse as B/D keys ahead of the real statement
+    assert normalize_key_string("Based on what I hear, C minor") == (0, "minor")
+    assert normalize_key_string("Dark and brooding, in C minor") == (0, "minor")
+    assert mirex_key_score("Based on what I hear, C minor", "C minor") == 1.0
+    # bare-note fallback still works for standalone mentions
+    assert normalize_key_string("the key of F#") == (6, "major")
+
+
+def test_bpm_prefers_unit_suffixed_numbers():
+    from llark_tpu.evaluation.utils import parse_bpm
+
+    assert parse_bpm("This 1970s rock track runs at 120 BPM") == 120.0
+    assert parse_bpm("roughly 95 beats per minute") == 95.0
+    assert parse_bpm("the tempo is about 140") == 140.0
+
+
+def test_mirex_fifth_only_above():
+    from llark_tpu.evaluation.utils import mirex_key_score
+
+    assert mirex_key_score("G major", "C major") == 0.5  # fifth above
+    assert mirex_key_score("F major", "C major") == 0.0  # fifth below: no credit

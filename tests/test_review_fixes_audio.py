@@ -154,3 +154,40 @@ def test_jukebox_mesh_pads_odd_batches():
     # streaming path pads too
     outs = list(enc.encode_stream(iter([(audio, None)])))
     assert outs[0][0].shape[0] == 3
+
+
+def test_native_wav_rejects_zero_bits():
+    """bits < 8 must surface as a Python error, not SIGFPE the process
+    (the native parser used to integer-divide by bits/8 == 0)."""
+    import struct
+
+    import pytest
+
+    from llark_tpu.audio.io import parse_wav_bytes
+
+    hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", 16)
+    hdr += struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 4)  # bits=4
+    hdr += b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    with pytest.raises(ValueError):
+        parse_wav_bytes(hdr)  # surviving to raise IS the regression check
+
+
+def test_tar_reader_falls_back_for_gzipped_shards(tmp_path):
+    """A .tar.gz shard must not silently yield zero samples on the native
+    path — the reader routes to the Python tarfile reader."""
+    import gzip
+    import json as _json
+
+    from llark_tpu.data.webdataset import TarShardReader, TarShardWriter
+
+    plain = tmp_path / "s-%05d.tar"
+    w = TarShardWriter(str(plain), max_count=10)
+    w.write({"__key__": "a", "json": {"x": 1},
+             "audio_encoding.pyd": np.zeros((2, 3), np.float32)})
+    w.close()
+    gz = tmp_path / "s.tar.gz"
+    gz.write_bytes(gzip.compress((tmp_path / "s-00000.tar").read_bytes()))
+
+    samples = list(TarShardReader([str(gz)]))
+    assert len(samples) == 1 and samples[0]["json"]["x"] == 1
