@@ -471,6 +471,11 @@ def train(
     if final_step > start_step:
         ckpt.save(final_step, state, {"seed": training_args.seed, "batches_seen": final_step})
     ckpt.wait()
+    # re-save metadata now that the tokenizer has seen the data: the lazy
+    # WordTokenizer interns word ids DURING training, so the pre-training
+    # vocab snapshot would reload with different ids than the model was
+    # trained on (HF tokenizers are fixed-vocab; re-saving is a no-op there)
+    save_model_metadata(training_args.output_dir, cfg, bundle)
     if training_args.lora_enable:
         from llark_tpu.models.lora import save_lora_adapter
 

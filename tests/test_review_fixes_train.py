@@ -154,3 +154,34 @@ def test_flash_kernel_fully_masked_rows_zero():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-6)
     assert np.abs(np.asarray(out[1])).max() > 0
+
+
+def test_reloaded_checkpoint_reproduces_trained_answer(tmp_path):
+    """Train to convergence, reload from the output dir, generate: the
+    completion must be the trained answer. Catches tokenizer-vocab
+    staleness (the lazy WordTokenizer interns ids DURING training; saving
+    metadata only before training reloads with shuffled ids)."""
+    from llark_tpu.generate import GenerationConfig, Generator
+    from llark_tpu.infer import infer_with_prompt
+    from llark_tpu.models.utils import load_pretrained_model
+    from llark_tpu.train.train import train
+
+    shard = _shards(tmp_path, n=16)
+    train(
+        ModelArguments(model_name_or_path="tiny", mm_hidden_size=MM),
+        DataArguments(train_data_path=shard, max_audio_frames=4,
+                      task_sample_probs={"mir": 1.0}),
+        TrainingArguments(output_dir=str(tmp_path / "ckpt"),
+                          per_device_train_batch_size=4,
+                          gradient_accumulation_steps=1,
+                          model_max_length=64, max_steps=30, save_steps=30,
+                          learning_rate=3e-3, mesh_shape=(1, 1, 1), seed=0),
+    )
+    cfg, params, bundle = load_pretrained_model(str(tmp_path / "ckpt"))
+    gen = Generator(cfg, params, bundle.audio_patch_id,
+                    GenerationConfig(max_new_tokens=6, stop_text="###"),
+                    max_cache_len=256)
+    out = infer_with_prompt(
+        "what genre ?", np.random.RandomState(1).randn(4, MM).astype(np.float32),
+        gen, bundle)
+    assert "jazz" in out, out
