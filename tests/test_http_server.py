@@ -114,3 +114,38 @@ def test_http_roundtrip(stack):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def test_http_many_concurrent_requests(stack):
+    """20 concurrent clients through 2 slots: all complete, all match the
+    engine's own sequential answers (stress the admit/decode interleave)."""
+    import concurrent.futures
+
+    cfg, params, bundle, server = stack
+    from llark_tpu.infer import build_prompt_ids
+    from llark_tpu.inference.http_server import OnlineEngine
+    from llark_tpu.inference.server import Request
+
+    engine = OnlineEngine(server).start()
+    try:
+        rng = np.random.RandomState(3)
+        prompts = [f"describe sound number {i} ." for i in range(20)]
+        audio = [rng.randn(3, cfg.mm_hidden_size).astype(np.float32)
+                 for _ in prompts]
+
+        def one(i):
+            ids = np.asarray(build_prompt_ids(prompts[i], 3, bundle), np.int32)
+            return engine.generate(Request(ids, audio[i]), timeout=300).tokens
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=20) as ex:
+            got = list(ex.map(one, range(len(prompts))))
+
+        # sequential ground truth through the same engine: every request's
+        # tokens must be independent of concurrency (empty is legitimate —
+        # random weights may emit the stop keyword first)
+        for i in range(len(prompts)):
+            ids = np.asarray(build_prompt_ids(prompts[i], 3, bundle), np.int32)
+            ref = engine.generate(Request(ids, audio[i]), timeout=300).tokens
+            assert got[i] == ref, i
+    finally:
+        engine.stop()

@@ -191,3 +191,50 @@ def test_tar_reader_falls_back_for_gzipped_shards(tmp_path):
 
     samples = list(TarShardReader([str(gz)]))
     assert len(samples) == 1 and samples[0]["json"]["x"] == 1
+
+
+def test_wav_parser_fuzz_never_crashes():
+    """Random, truncated, and bit-flipped WAV buffers must raise or return
+    — never kill the process (the native path previously SIGFPE'd)."""
+    import struct
+
+    from llark_tpu.audio.io import parse_wav_bytes, write_wav
+
+    rng = np.random.RandomState(0)
+    # a valid file to mutate
+    sr = 8000
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.wav")
+        write_wav(p, rng.randn(sr // 4).astype(np.float32) * 0.5, sr)
+        valid = open(p, "rb").read()
+
+    cases = []
+    for n in (0, 3, 11, 44, 100):
+        cases.append(valid[:n])  # truncations
+    for _ in range(30):
+        buf = bytearray(valid)
+        for _ in range(8):  # random bit flips, keep RIFF/WAVE magic intact
+            i = rng.randint(12, len(buf))
+            buf[i] ^= 1 << rng.randint(8)
+        cases.append(bytes(buf))
+    for _ in range(20):
+        cases.append(b"RIFF" + rng.bytes(60) + b"WAVE" + rng.bytes(200))
+        cases.append(rng.bytes(rng.randint(1, 400)))
+    # adversarial fmt chunks
+    for bits in (0, 1, 4, 64, 255):
+        h = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        h += b"fmt " + struct.pack("<I", 16)
+        h += struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, bits)
+        h += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        cases.append(h)
+
+    decoded = 0
+    for case in cases:
+        try:
+            x, _ = parse_wav_bytes(case)
+            decoded += 1
+            assert isinstance(x, np.ndarray)
+        except (ValueError, struct.error):
+            pass  # rejection is fine; crashing is not
+    assert decoded >= 1  # at least some mutants still decode
