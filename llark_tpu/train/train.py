@@ -89,6 +89,11 @@ def model_config_from_name(name: str, model_args: ModelArguments, training_args=
         )
     lname = name.lower()
     if "mpt" in lname:
+        if "tiny" in lname:  # test-scale MPT: same arch family, tiny dims
+            return ModelConfig.tiny(
+                arch="mpt", use_alibi=True, tie_embeddings=True,
+                mlp_activation="gelu", norm_type="layernorm", **kw,
+            )
         return ModelConfig.mpt_1b(**kw)
     if "tiny" in lname:
         return ModelConfig.tiny(**kw)

@@ -185,3 +185,34 @@ def test_reloaded_checkpoint_reproduces_trained_answer(tmp_path):
         "what genre ?", np.random.RandomState(1).randn(4, MM).astype(np.float32),
         gen, bundle)
     assert "jazz" in out, out
+
+
+def test_mpt_family_train_reload_generate(tmp_path):
+    """MPT end-to-end (ALiBi, LayerNorm, GELU, tied embeddings): train to
+    convergence via the CLI path, reload, and reproduce the answer —
+    coverage the tied-head freeze bug showed was missing."""
+    from llark_tpu.generate import GenerationConfig, Generator
+    from llark_tpu.infer import infer_with_prompt
+    from llark_tpu.models.utils import load_pretrained_model
+    from llark_tpu.train.train import train
+
+    shard = _shards(tmp_path, n=16)
+    train(
+        ModelArguments(model_name_or_path="tiny-mpt", mm_hidden_size=MM),
+        DataArguments(train_data_path=shard, max_audio_frames=4,
+                      task_sample_probs={"mir": 1.0}),
+        TrainingArguments(output_dir=str(tmp_path / "ckpt"),
+                          per_device_train_batch_size=4,
+                          gradient_accumulation_steps=1,
+                          model_max_length=64, max_steps=30, save_steps=30,
+                          learning_rate=3e-3, mesh_shape=(1, 1, 1), seed=0),
+    )
+    cfg, params, bundle = load_pretrained_model(str(tmp_path / "ckpt"))
+    assert cfg.arch == "mpt" and cfg.tie_embeddings and cfg.use_alibi
+    gen = Generator(cfg, params, bundle.audio_patch_id,
+                    GenerationConfig(max_new_tokens=6, stop_text="###"),
+                    max_cache_len=256)
+    out = infer_with_prompt(
+        "what genre ?", np.random.RandomState(1).randn(4, MM).astype(np.float32),
+        gen, bundle)
+    assert "jazz" in out, out
