@@ -59,6 +59,23 @@ def _join(results, labels, label_col):
     return pairs
 
 
+def _openai_embedder(model: str):
+    """texts -> [N, D] via the OpenAI embeddings API — the embedder the
+    reference notebooks use (eval_genre_gtzan.ipynb); requires the openai
+    package and OPENAI_API_KEY."""
+    import numpy as np
+    import openai  # type: ignore
+
+    client = openai.OpenAI()
+
+    def embed(texts):
+        out = client.embeddings.create(model=model, input=list(texts))
+        vecs = np.asarray([d.embedding for d in out.data], np.float32)
+        return vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+
+    return embed
+
+
 def cmd_genre(ns):
     results = load_results(ns.results)
     labels = load_labels(ns.labels, ns.id_col)
@@ -66,7 +83,10 @@ def cmd_genre(ns):
     completions = [p[0] for p in pairs]
     truths = [str(p[1]).lower() for p in pairs]
     label_set = [l.strip().lower() for l in ns.label_set.split(",")]
-    ranked = rank_labels_by_similarity(completions, label_set)
+    embedder = None  # offline hashed bag-of-words default
+    if getattr(ns, "embedder", "offline") == "openai":
+        embedder = _openai_embedder(ns.embedding_model)
+    ranked = rank_labels_by_similarity(completions, label_set, embedder=embedder)
     metrics = {
         f"acc@{k}": round(acc_at_k(ranked, truths, k), 4) for k in (1, 2, 3, 4)
     }
@@ -163,6 +183,13 @@ def main(argv=None):
                                                "tempo": "tempo",
                                                "instruments": "instruments"}[name])
         c.add_argument("--id-col", default="example_id")
+        if name == "genre":
+            c.add_argument("--embedder", choices=("offline", "openai"),
+                           default="offline",
+                           help="'openai' = the reference notebooks' text "
+                                "embeddings (needs OPENAI_API_KEY); "
+                                "'offline' = hashed bag of words")
+            c.add_argument("--embedding-model", default="text-embedding-3-small")
         for e in extra:
             c.add_argument(e, required=True)
         c.set_defaults(fn=fn)

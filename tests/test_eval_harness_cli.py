@@ -71,3 +71,36 @@ def test_instruments(files, capsys):
     out = run(capsys, ["instruments", "--results", results, "--labels", labels,
                        "--vocab", "violin,piano,cello,flute"])
     assert out["n"] == 2 and 0 < out["f1"] <= 1.0
+
+
+def test_genre_openai_embedder_plumbing(files, capsys, monkeypatch):
+    """--embedder openai routes through the API-backed embedder (stubbed)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    calls = []
+
+    class _FakeEmbeddings:
+        def create(self, model, input):
+            calls.append((model, list(input)))
+            rng = np.random.RandomState(len(calls))
+            data = [types.SimpleNamespace(embedding=rng.randn(8).tolist())
+                    for _ in input]
+            return types.SimpleNamespace(data=data)
+
+    class _FakeClient:
+        def __init__(self):
+            self.embeddings = _FakeEmbeddings()
+
+    fake_openai = types.SimpleNamespace(OpenAI=_FakeClient)
+    monkeypatch.setitem(sys.modules, "openai", fake_openai)
+
+    results, labels = files
+    out = run(capsys, ["genre", "--results", results, "--labels", labels,
+                       "--label-set", "jazz,rock,classical,pop",
+                       "--embedder", "openai"])
+    assert out["n"] == 3
+    assert len(calls) == 2  # one batch for completions, one for labels
+    assert calls[0][0] == "text-embedding-3-small"
