@@ -70,12 +70,15 @@ def trainable_mask(
     lora: bool = False,
     freeze_mm_mlp_adapter: bool = False,
 ) -> Dict[str, Any]:
-    """True = trainable. Adapter-only stage trains mm_projector + embed
-    (new-token rows are gated inside the model by trainable_token_start).
-    LoRA stage trains the low-rank factors + projector + embed (the
-    reference's adapter + non_lora_trainables split, m2t/train.py:264-273).
-    freeze_mm_mlp_adapter pins the projector (reference
-    m2t/llava/train/train.py:68 / m2t/train.py:143-164 grad-flag wiring)."""
+    """True = trainable. Reached only when something freezes (the trainer
+    partitions for freeze_backbone / LoRA / int8 base; tune_mm_mlp_adapter
+    ALONE trains the full model, reference m2t/train.py:143-164).
+    Adapter stage (frozen or int8 backbone + tune flag) trains
+    mm_projector + embed (new-token rows gated inside the model by
+    trainable_token_start). LoRA stage trains the low-rank factors +
+    projector + embed (the reference's adapter + non_lora_trainables
+    split, m2t/train.py:264-273). freeze_mm_mlp_adapter pins the
+    projector (reference m2t/llava/train/train.py:68)."""
 
     def mask_entry(path_key: str, subtree):
         if path_key == "mm_projector":

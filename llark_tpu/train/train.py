@@ -279,10 +279,16 @@ def train(
     specs = adapt_specs_to_params(param_partition_specs(cfg), params)
     params = shard_params(mesh, params, specs)
 
+    # Reference flag semantics (m2t/train.py:143-164): tune_mm_mlp_adapter
+    # alone does NOT freeze the backbone — the run of record
+    # (train_llark.sh) sets tune=True freeze=False and trains the full
+    # model, with the projector side-saved and original embedding rows
+    # detached (trainable_token_start below). Freezing comes only from
+    # freeze_backbone, LoRA, or an int8 base (non-differentiable leaves).
     partitioned = (
         model_args.freeze_backbone
-        or model_args.tune_mm_mlp_adapter
         or training_args.lora_enable
+        or training_args.bits == 8
     )
     param_partition = None
     if partitioned:

@@ -5,6 +5,8 @@ set -e
 DATA=${DATA:-/data/train/mir-{000000..000999}.tar}
 python -m llark_tpu.train.train \
   --model_name_or_path mpt-1b \
+  --tune_mm_mlp_adapter true \
+  --mm_use_audio_start_end true \
   --mm_hidden_size 4800 \
   --train_data_path "$DATA" \
   --output_dir ./checkpoints/llark-mpt1b \

@@ -216,3 +216,44 @@ def test_mpt_family_train_reload_generate(tmp_path):
         "what genre ?", np.random.RandomState(1).randn(4, MM).astype(np.float32),
         gen, bundle)
     assert "jazz" in out, out
+
+
+def test_tune_adapter_without_freeze_trains_full_model(tmp_path):
+    """Reference flag semantics (m2t/train.py:143-164): tune_mm_mlp_adapter
+    alone must NOT freeze the backbone — the run of record trains the full
+    model with original embedding rows detached and projector side-saved."""
+    import glob
+
+    from llark_tpu.models.utils import load_pretrained_model
+    from llark_tpu.train.train import train
+
+    shard = _shards(tmp_path)
+    out = str(tmp_path / "ckpt")
+    res = train(
+        ModelArguments(model_name_or_path="tiny", mm_hidden_size=MM,
+                       tune_mm_mlp_adapter=True, freeze_backbone=False),
+        DataArguments(train_data_path=shard, max_audio_frames=4,
+                      task_sample_probs={"mir": 1.0}),
+        TrainingArguments(output_dir=out, per_device_train_batch_size=2,
+                          gradient_accumulation_steps=1,
+                          model_max_length=64, max_steps=3, save_steps=3,
+                          learning_rate=1e-2, mesh_shape=(1, 1, 1), seed=0),
+    )
+    # projector side-save still happens (tune flag)
+    assert glob.glob(str(tmp_path / "ckpt" / "mm_projector" / "checkpoint-*.npz"))
+    # backbone weights moved (full-model training, not adapter-only)
+    state = res["state"]
+    cfg, params0, _ = load_pretrained_model(out)  # trained weights
+    import jax
+    from llark_tpu.models.fusion import init_llark_params
+
+    init = init_llark_params(cfg, jax.random.PRNGKey(0))
+    moved = float(np.abs(np.asarray(params0["layers"]["wq"], np.float32)
+                         - np.asarray(init["layers"]["wq"], np.float32)).max())
+    assert moved > 0, "backbone frozen despite freeze_backbone=False"
+    # original embedding rows stayed detached
+    tts = cfg.vocab_size  # HF-free path: bundle appended 3 audio tokens
+    emb_t = np.asarray(params0["embed"], np.float32)
+    emb_0 = np.asarray(init["embed"], np.float32)
+    # at least the earliest rows (special/pad ids, never targets) unchanged
+    np.testing.assert_array_equal(emb_t[:4], emb_0[:4])
