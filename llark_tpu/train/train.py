@@ -257,17 +257,32 @@ def train(
             # (reference: m2t/llava/train/train.py:90)
             params, meta = load_lora_adapter(training_args.lora_weight_path, params)
             log.info("warm-started LoRA from %s (%s)", training_args.lora_weight_path, meta)
-    if training_args.bits == 8:
-        # QLoRA-style: int8 frozen base (reference: bnb 4/8-bit,
+    if training_args.bits in (4, 8):
+        # QLoRA-style: quantized frozen base (reference: bnb 4/8-bit,
         # m2t/arguments.py:112-133). Requires a frozen-base mode.
         if not (training_args.lora_enable or model_args.freeze_backbone
                 or model_args.tune_mm_mlp_adapter):
-            raise ValueError("--bits 8 requires lora_enable / freeze_backbone "
-                             "/ tune_mm_mlp_adapter (int8 base is frozen)")
-        from llark_tpu.models.quant import quantize_params_int8_incremental
+            raise ValueError(f"--bits {training_args.bits} requires lora_enable"
+                             " / freeze_backbone / tune_mm_mlp_adapter "
+                             "(the quantized base is frozen)")
+        if training_args.bits == 8:
+            from llark_tpu.models.quant import quantize_params_int8_incremental
 
-        params = quantize_params_int8_incremental(cfg, params)
-        log.info("quantized frozen base weights to int8")
+            params = quantize_params_int8_incremental(cfg, params)
+        else:
+            # int4 group-wise base: half the frozen-weight HBM of int8
+            # (measured slower to DEQUANTIZE per step than int8 — pick 4
+            # for capacity, 8 for speed; models/quant.py docstrings)
+            from llark_tpu.models.quant import quantize_params_int4_incremental
+
+            # group must divide every fan-in; 128 works for production dims,
+            # small test configs scale it down with their hidden size
+            params = quantize_params_int4_incremental(
+                cfg, params, group=min(128, cfg.hidden_size)
+            )
+        log.info("quantized frozen base weights to int%d", training_args.bits)
+    elif training_args.bits != 16:
+        raise ValueError(f"--bits {training_args.bits} unsupported (16/8/4)")
 
     # write the self-describing metadata only after every cfg mutation
     # (lora_rank/alpha/dropout above) so load_pretrained_model rebuilds the
@@ -288,7 +303,7 @@ def train(
     partitioned = (
         model_args.freeze_backbone
         or training_args.lora_enable
-        or training_args.bits == 8
+        or training_args.bits in (4, 8)
     )
     param_partition = None
     if partitioned:

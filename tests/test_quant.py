@@ -184,3 +184,52 @@ def test_int4_cols_matches_rows_numerics():
     y = quantized_dense_int4(x, quantize_weight_int4_cols(w, 32), None, jnp.float32)
     yref = jnp.einsum("bsh,hd->bsd", x, b)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yref), atol=1e-5)
+
+
+def test_bits4_qlora_trains(tmp_path):
+    """--bits 4: int4 group-wise frozen base + LoRA trains with finite loss
+    (was a silent no-op: --bits 4 trained in full precision)."""
+    import numpy as np
+
+    from llark_tpu.config import DataArguments, ModelArguments, TrainingArguments
+    from llark_tpu.data.webdataset import TarShardWriter
+    from llark_tpu.train.train import train
+
+    MM = 8
+    rng = np.random.RandomState(0)
+    w = TarShardWriter(str(tmp_path / "mir-train-%05d.tar"), max_count=100)
+    for i in range(4):
+        w.write({"__key__": f"t{i:03d}",
+                 "json": {"response": [{"question": "q ?", "answer": "a ."}]},
+                 "audio_encoding.pyd": rng.randn(4, MM).astype(np.float32)})
+    w.close()
+    res = train(
+        ModelArguments(model_name_or_path="tiny", mm_hidden_size=MM),
+        DataArguments(train_data_path=str(tmp_path / "mir-train-00000.tar"),
+                      max_audio_frames=4, task_sample_probs={"mir": 1.0}),
+        TrainingArguments(output_dir=str(tmp_path / "ckpt"),
+                          per_device_train_batch_size=2,
+                          gradient_accumulation_steps=1,
+                          model_max_length=64, max_steps=2, save_steps=2,
+                          mesh_shape=(1, 1, 1), seed=0,
+                          bits=4, lora_enable=True, lora_r=4),
+    )
+    assert all(np.isfinite(l) for l in res["losses"])
+    # the frozen base really is int4 (q4c cols layout dicts)
+    wq = res["state"].params["layers"]["wq"]
+    assert isinstance(wq, dict) and ("q4c" in wq or "q4" in wq)
+
+
+def test_bits_invalid_rejected(tmp_path):
+    from llark_tpu.config import DataArguments, ModelArguments, TrainingArguments
+    from llark_tpu.train.train import train
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        train(
+            ModelArguments(model_name_or_path="tiny", mm_hidden_size=8),
+            DataArguments(train_data_path="x.tar"),
+            TrainingArguments(output_dir=str(tmp_path), bits=2,
+                              mesh_shape=(1, 1, 1)),
+        )
