@@ -18,7 +18,7 @@ RUN python -m pip install --no-cache-dir numpy jax[cpu] msgpack
 COPY llark_tpu /llark/llark_tpu
 COPY pyproject.toml /llark/
 WORKDIR /llark
-RUN python -m pip install -e .
+RUN python -m pip install -e . --no-deps  # images pin their own runtime set above
 ENV PYTHONPATH="${PYTHONPATH}:/llark"
 
 # jsonify:  python -m llark_tpu.preprocessing.jsonify_cli --dataset musiccaps ...

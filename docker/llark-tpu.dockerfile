@@ -25,7 +25,7 @@ COPY llark_tpu /llark/llark_tpu
 COPY pyproject.toml /llark/
 WORKDIR /llark
 # builds native/{audioproc,tarloader}.cpp extensions; numpy fallback if g++ absent
-RUN python -m pip install -e .
+RUN python -m pip install -e . --no-deps  # images pin their own runtime set above
 ENV PYTHONPATH="${PYTHONPATH}:/llark"
 
 # train:   python -m llark_tpu.train.train --model_name_or_path ... (scripts/training/*.sh)
