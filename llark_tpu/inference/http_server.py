@@ -74,15 +74,30 @@ class OnlineEngine:
             for req, ev in newly:
                 tracked[id(req)] = (req, ev)
                 srv._queue.append(req)
-            if not srv._queue and not srv._active():
-                time.sleep(self.idle_sleep_s)
-            else:
-                srv._admit()
-                srv._decode_round()
+            try:
+                if not srv._queue and not srv._active():
+                    time.sleep(self.idle_sleep_s)
+                else:
+                    srv._admit()
+                    srv._decode_round()
+            except Exception as e:  # noqa: BLE001 — one bad request must not
+                # kill the serving loop: fail everything in flight/queued
+                # with the error and keep accepting new work
+                log.exception("engine step failed; failing in-flight requests")
+                srv._queue.clear()
+                for slot, r in enumerate(srv._slot_req):
+                    if r is not None:
+                        srv._slot_req[slot] = None
+                for req, ev in tracked.values():
+                    req.error = f"{type(e).__name__}: {e}"
+                    ev.set()
+                tracked.clear()
+                continue
             for rid in [r for r, (req, _) in tracked.items() if req.done]:
                 tracked.pop(rid)[1].set()
         # on shutdown: fail fast for anything still in flight
         for req, ev in tracked.values():
+            req.error = "server shutting down"
             ev.set()
 
     def start(self) -> "OnlineEngine":
@@ -141,9 +156,18 @@ def make_handler(engine: OnlineEngine, bundle, prompt_cap: int):
                 audio = None
                 t = 0
                 if enc is not None:
-                    audio = np.asarray(enc, np.float32)
-                    if audio.ndim == 3 and audio.shape[0] == 1:
-                        audio = audio[0]
+                    from llark_tpu.infer import _normalize_encoding
+
+                    # frame-cap BEFORE building prompt ids: the engine clamps
+                    # to max_audio_frames, so uncapped t would insert more
+                    # patch tokens than audio frames get spliced in
+                    audio = _normalize_encoding(enc, engine.server.max_audio_frames)
+                    if audio.ndim != 2 or audio.shape[1] != engine.server.cfg.mm_hidden_size:
+                        self._reply(400, {
+                            "error": f"audio_encoding must be [T, "
+                                     f"{engine.server.cfg.mm_hidden_size}], "
+                                     f"got {list(audio.shape)}"})
+                        return
                     t = audio.shape[0]
                 ids = np.asarray(
                     build_prompt_ids(prompt, t, bundle), np.int32
@@ -154,6 +178,9 @@ def make_handler(engine: OnlineEngine, bundle, prompt_cap: int):
                 req = engine.generate(
                     Request(ids, audio), timeout=float(payload.get("timeout", 300.0))
                 )
+                if not req.done or req.error:
+                    self._reply(503, {"error": req.error or "generation aborted"})
+                    return
                 completion = bundle.tokenizer.decode(req.tokens)
                 self._reply(
                     200,
@@ -185,8 +212,12 @@ def serve_http(server: BatchedServer, bundle, host: str = "127.0.0.1",
 
 
 def main(argv=None):
-    from llark_tpu.generate import GenerationConfig
-    from llark_tpu.inference.common import add_generation_args, apply_serving_overrides
+    from llark_tpu.inference.common import (
+        add_generation_args,
+        apply_serving_overrides,
+        check_serving_args,
+        make_gen_cfg,
+    )
     from llark_tpu.models.utils import load_pretrained_model
 
     p = argparse.ArgumentParser()
@@ -199,6 +230,9 @@ def main(argv=None):
     p.add_argument("--prompt-buckets", default="128,512")
     add_generation_args(p)
     args = p.parse_args(argv)
+    # the daemon IS the continuous-batching engine: reject speculative/beam
+    # flags instead of silently ignoring them
+    check_serving_args(args)
 
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
     cfg = apply_serving_overrides(args, cfg)
@@ -206,13 +240,7 @@ def main(argv=None):
         cfg,
         params,
         bundle.audio_patch_id,
-        GenerationConfig(
-            max_new_tokens=args.max_new_tokens,
-            temperature=args.temperature,
-            top_p=args.top_p,
-            top_k=args.top_k,
-            stop_text="###",
-        ),
+        make_gen_cfg(args),
         max_batch=args.continuous_batching,
         max_cache_len=args.max_cache_len,
         prompt_buckets=tuple(int(x) for x in args.prompt_buckets.split(",")),

@@ -50,6 +50,7 @@ class Request:
     # filled by the engine:
     tokens: List[int] = field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None  # set by the online engine on failure
     submitted_at: float = 0.0
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None

@@ -387,6 +387,16 @@ def train(
     # periodic eval-loss pass (reference defaults to evaluation_strategy
     # "no"; enabled here with --eval_steps N + --eval_data_path)
     eval_every = training_args.eval_steps if "eval_iterator" in data_module else 0
+    if training_args.eval_steps and "eval_iterator" not in data_module:
+        log.warning(
+            "--eval_steps %d set but no --eval_data_path given: no eval "
+            "pass will run", training_args.eval_steps,
+        )
+    elif "eval_iterator" in data_module and not training_args.eval_steps:
+        log.warning(
+            "--eval_data_path given but --eval_steps is 0: no eval pass "
+            "will run (set --eval_steps N to enable)",
+        )
     eval_fn = None
     if eval_every:
         from llark_tpu.train.step import make_eval_step

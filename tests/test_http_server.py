@@ -149,3 +149,63 @@ def test_http_many_concurrent_requests(stack):
             assert got[i] == ref, i
     finally:
         engine.stop()
+
+
+def test_engine_survives_malformed_request(stack):
+    """A request whose encoding has the wrong width must 400 at the HTTP
+    layer, and even a directly-injected bad request must fail cleanly
+    without killing the engine loop."""
+    import urllib.error
+
+    cfg, params, bundle, server = stack
+    httpd, engine = serve_http(server, bundle, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(0)
+        # wrong mm width -> 400, engine untouched
+        bad = json.dumps({"prompt": "x .", "audio_encoding":
+                          rng.randn(3, cfg.mm_hidden_size + 2).tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=bad,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # inject a malformed request PAST the HTTP validation: the engine
+        # must fail it (error set, event fired) and keep serving
+        from llark_tpu.infer import build_prompt_ids
+        from llark_tpu.inference.server import Request as Req
+
+        bad_req = Req(np.asarray([5, 6], np.int32),
+                      rng.randn(3).astype(np.float32))  # 1-D encoding
+        failed = engine.generate(bad_req, timeout=60)
+        assert failed.error is not None
+
+        # engine still alive: a good request completes
+        good = json.dumps({"prompt": "describe this .", "audio_encoding":
+                           rng.randn(3, cfg.mm_hidden_size).tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=good,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert isinstance(out["completion"], str)
+
+        # oversized frame count is capped, not misaligned: 200 with output
+        many = json.dumps({"prompt": "describe this .", "audio_encoding":
+                           rng.randn(server.max_audio_frames + 3,
+                                     cfg.mm_hidden_size).tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=many,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert isinstance(out["completion"], str)
+    finally:
+        httpd.shutdown()
+        engine.stop()
