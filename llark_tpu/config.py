@@ -251,6 +251,10 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type) -> None:
             )
         elif str(f.type) in ("int", "float", "str"):
             parser.add_argument(name, type=eval(str(f.type)), default=default)  # noqa: S307
+        elif str(f.type) in ("Optional[int]", "Optional[float]", "Optional[str]",
+                             "int | None", "float | None", "str | None"):
+            inner = str(f.type).replace("Optional[", "").rstrip("]").split(" |")[0]
+            parser.add_argument(name, type=eval(inner), default=default)  # noqa: S307
         elif "Tuple[int" in str(f.type):
             parser.add_argument(
                 name,

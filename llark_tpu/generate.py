@@ -50,7 +50,8 @@ def _sample(logits: jnp.ndarray, cfg: GenerationConfig, key: jax.Array) -> jnp.n
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / cfg.temperature
     if cfg.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k, None]
+        k = min(cfg.top_k, logits.shape[-1])  # top_k > vocab degrades to no-op
+        kth = jnp.sort(logits, axis=-1)[:, -k, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]

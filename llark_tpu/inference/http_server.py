@@ -122,6 +122,13 @@ class OnlineEngine:
 def make_handler(engine: OnlineEngine, bundle, prompt_cap: int):
     from llark_tpu.infer import build_prompt_ids
 
+    # reject oversized request bodies BEFORE reading them into memory: the
+    # largest legitimate payload is a base64 .npy of [max_audio_frames,
+    # mm_hidden] f32 (clients may send a few x more frames, which the engine
+    # truncates) plus JSON overhead
+    srv = engine.server
+    body_cap = 4 * srv.max_audio_frames * srv.cfg.mm_hidden_size * 4 * 4 // 3 + 65536
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through logging, not stderr
             log.debug("http: " + fmt, *args)
@@ -146,6 +153,9 @@ def make_handler(engine: OnlineEngine, bundle, prompt_cap: int):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > body_cap:
+                    self._reply(413, {"error": f"request body {n} bytes exceeds cap {body_cap}"})
+                    return
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 prompt = payload.get("prompt") or "Describe the audio."
                 enc = payload.get("audio_encoding")
@@ -175,8 +185,11 @@ def make_handler(engine: OnlineEngine, bundle, prompt_cap: int):
                 if len(ids) > prompt_cap:
                     self._reply(413, {"error": f"prompt too long ({len(ids)} > {prompt_cap} tokens)"})
                     return
+                mnt = payload.get("max_new_tokens")
                 req = engine.generate(
-                    Request(ids, audio), timeout=float(payload.get("timeout", 300.0))
+                    Request(ids, audio,
+                            max_new_tokens=int(mnt) if mnt is not None else None),
+                    timeout=float(payload.get("timeout", 300.0)),
                 )
                 if not req.done or req.error:
                     self._reply(503, {"error": req.error or "generation aborted"})

@@ -47,6 +47,9 @@ log = logging.getLogger(__name__)
 class Request:
     input_ids: np.ndarray  # [S] int32 (unpadded)
     audio_encoding: Optional[np.ndarray] = None  # [T, mm] f32
+    # per-request token budget; clamped to the server-level
+    # gen_cfg.max_new_tokens so serve()'s capacity math stays valid
+    max_new_tokens: Optional[int] = None
     # filled by the engine:
     tokens: List[int] = field(default_factory=list)
     done: bool = False
@@ -260,7 +263,10 @@ class BatchedServer:
             tail = self.tokenizer.decode(req.tokens[-8:])
             if gen.stop_text in tail:
                 return True
-        return len(req.tokens) >= gen.max_new_tokens
+        limit = gen.max_new_tokens
+        if req.max_new_tokens is not None:
+            limit = min(max(1, req.max_new_tokens), limit)
+        return len(req.tokens) >= limit
 
     def _finish(self, slot: int) -> None:
         from llark_tpu.generate import Generator

@@ -428,12 +428,23 @@ def train(
             for k, v in b.items()
         }
 
+    # eval materializes the same micro-batch size as a training micro-step:
+    # with grad_accum > 1 the train step only ever holds global/accum rows of
+    # activations at once, so pushing the full global batch through one
+    # forward could OOM configs that rely on accumulation to fit
+    accum = max(training_args.gradient_accumulation_steps, 1)
+    eval_micro = max(global_batch // accum, 1)
+
     def run_eval(params) -> float:
         total, tokens = 0.0, 0
         for eb in data_module["eval_iterator"]():
-            m = eval_fn(params, put(_pad_eval_batch(eb, global_batch)))
-            total += float(m["loss_sum"])
-            tokens += int(m["num_tokens"])
+            arrays = {k: v for k, v in eb.items() if isinstance(v, np.ndarray)}
+            n = next(iter(arrays.values())).shape[0]
+            for lo in range(0, n, eval_micro):
+                mb = {k: v[lo:lo + eval_micro] for k, v in arrays.items()}
+                m = eval_fn(params, put(_pad_eval_batch(mb, eval_micro)))
+                total += float(m["loss_sum"])
+                tokens += int(m["num_tokens"])
         return total / max(tokens, 1)
 
     history = []
