@@ -83,6 +83,11 @@ def build_jukebox_encoder(ns):
         n = len(jax.devices())
         kw["mesh"] = make_mesh((n, 1, 1))
         log.info("data-parallel encode over %d devices", n)
+    if ns.checkpoint and ns.checkpoint.endswith(".npz"):
+        # importer-produced bundle (weights + conditioner tables)
+        enc = JukeboxEncoder.from_npz(ns.checkpoint, **kw)
+        enc.prior_cfg.dtype = "bfloat16"
+        return enc
     if ns.checkpoint:
         from llark_tpu.encoders.jukebox.import_torch import (
             convert_prior,
@@ -105,6 +110,28 @@ def build_jukebox_encoder(ns):
         vq_cfg = JukeboxVQVAEConfig()
         pr_cfg = infer_prior_config(pr_sd, depth=ns.prior_depth)
         pr_cfg.dtype = "bfloat16"
+        # x_cond/y_cond from the checkpoint's label conditioner (zeros only
+        # when the tables are absent, e.g. truncated test fixtures)
+        try:
+            from llark_tpu.encoders.jukebox.conditioner import (
+                convert_conditioner,
+                dummy_metadata,
+                get_cond,
+                infer_conditioner_config,
+            )
+
+            cond_params = convert_conditioner(pr_sd)
+            ccfg = infer_conditioner_config(cond_params, pr_cfg.n_ctx, pr_cfg.width)
+            raw_to_tokens = 1
+            for d, s in zip(vq_cfg.downs_t, vq_cfg.strides_t):
+                raw_to_tokens *= s**d
+            x_cond, y_cond = get_cond(ccfg, cond_params,
+                                      dummy_metadata(ccfg, raw_to_tokens))
+            kw.setdefault("x_cond", x_cond)
+            kw.setdefault("y_cond", y_cond)
+        except KeyError:
+            log.warning("prior checkpoint has no y_emb.* conditioner tables; "
+                        "using zero x_cond/y_cond")
         return JukeboxEncoder(
             vq_cfg, pr_cfg, convert_vqvae(vq_sd, vq_cfg),
             convert_prior(pr_sd, pr_cfg), **kw

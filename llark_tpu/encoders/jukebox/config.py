@@ -23,9 +23,25 @@ class JukeboxVQVAEConfig:
     l_bins: int = 2048  # codebook size
     width: int = 32  # conv channel width
     depth: int = 4  # resnet blocks per downsample stage
+    # per-ENCODER width/depth multiplier (openai vqvae hps `multipliers`,
+    # (2, 1, 1) in the public releases): jukebox builds one independent
+    # full encoder per VQ level, and encoder l uses width*multipliers[l] /
+    # depth*multipliers[l] for ALL of its chained blocks. The embedding
+    # path consumes only the TOP encoder (multiplier 1 for 5b), so the
+    # effective width/depth is top_width/top_depth; the field is recorded
+    # so importers of non-top encoders size correctly.
+    multipliers: Tuple[int, ...] = (2, 1, 1)
     m_conv: float = 1.0
     dilation_growth_rate: int = 3
     dtype: str = "float32"
+
+    @property
+    def top_width(self) -> int:
+        return self.width * self.multipliers[self.levels - 1]
+
+    @property
+    def top_depth(self) -> int:
+        return self.depth * self.multipliers[self.levels - 1]
 
     @property
     def hop_lengths(self) -> Tuple[int, ...]:
@@ -40,7 +56,7 @@ class JukeboxVQVAEConfig:
     def tiny(cls, **kw) -> "JukeboxVQVAEConfig":
         base = dict(
             levels=3, downs_t=(1, 1, 1), strides_t=(2, 2, 2),
-            emb_width=8, l_bins=32, width=8, depth=1,
+            emb_width=8, l_bins=32, width=8, depth=1, multipliers=(1, 1, 1),
         )
         base.update(kw)
         return cls(**base)

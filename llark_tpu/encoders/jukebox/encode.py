@@ -106,7 +106,26 @@ class JukeboxEncoder:
         )
         out_dt = jnp.dtype(self.output_dtype)
 
-        def _encode(vq_params, prior_params, audio):
+        # conds ride as ARGUMENTS, not jit closure constants: the real-5b
+        # x_cond is [1, 8192, 4800] fp32 (~160 MB), far over the remote-
+        # compile constant limit on tunneled TPUs
+        has_conds = self.x_cond is not None or self.y_cond is not None
+        self._conds = None
+        if has_conds:
+            self._conds = (
+                jnp.zeros((1, self.prior_cfg.n_ctx, self.prior_cfg.width),
+                          jnp.dtype(self.prior_cfg.dtype))
+                if self.x_cond is None
+                else jnp.asarray(np.asarray(self.x_cond),
+                                 jnp.dtype(self.prior_cfg.dtype)),
+                jnp.zeros((1, 1, self.prior_cfg.width),
+                          jnp.dtype(self.prior_cfg.dtype))
+                if self.y_cond is None
+                else jnp.asarray(np.asarray(self.y_cond),
+                                 jnp.dtype(self.prior_cfg.dtype)),
+            )
+
+        def _encode(vq_params, prior_params, audio, *conds):
             if audio.dtype == jnp.int16:
                 audio = audio.astype(jnp.float32) / 32767.0
             codes = encode_top(self.vq_cfg, vq_params, audio)  # [N, T]
@@ -115,8 +134,8 @@ class JukeboxEncoder:
                 self.prior_cfg,
                 prior_params,
                 codes,
-                None if self.x_cond is None else jnp.asarray(self.x_cond),
-                None if self.y_cond is None else jnp.asarray(self.y_cond),
+                conds[0] if conds else None,
+                conds[1] if conds else None,
             )  # [N, n_ctx, width] fp32
             if frame_len is not None:
                 acts = windowed_average(acts, frame_len)
@@ -134,9 +153,12 @@ class JukeboxEncoder:
             rep_tree_p = jax.tree.map(lambda _: rep, self.prior_params)
             self.vq_params = jax.device_put(self.vq_params, rep)
             self.prior_params = jax.device_put(self.prior_params, rep)
+            cond_sh = tuple(rep for _ in (self._conds or ()))
+            if self._conds is not None:
+                self._conds = tuple(jax.device_put(c, rep) for c in self._conds)
             self._encode = jax.jit(
                 _encode,
-                in_shardings=(rep_tree, rep_tree_p, batch_sh),
+                in_shardings=(rep_tree, rep_tree_p, batch_sh) + cond_sh,
                 out_shardings=batch_sh,
             )
         else:
@@ -149,6 +171,38 @@ class JukeboxEncoder:
             q = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
             return jnp.asarray((q * 32767.0).astype(np.int16))
         return jnp.asarray(np.asarray(audio, np.float32))
+
+    @classmethod
+    def from_npz(cls, path: str, metadata=None, artist_id: int = 0,
+                 genre_id: int = 0, **kw):
+        """Build an encoder from an import_torch npz. When the npz carries
+        label-conditioner tables, x_cond/y_cond are computed for the
+        reference's dummy metadata (jukebox/main.py:71-98) — or for the
+        given `metadata` rows — instead of defaulting to zeros."""
+        from llark_tpu.encoders.jukebox.import_torch import load_npz
+
+        vq_cfg, pr_cfg, vq_params, pr_params, cond_params, conds = load_npz(path)
+        if conds:
+            kw.setdefault("x_cond", conds["x_cond"])
+            kw.setdefault("y_cond", conds["y_cond"])
+        elif cond_params is not None:
+            from llark_tpu.encoders.jukebox.conditioner import (
+                dummy_metadata,
+                get_cond,
+                infer_conditioner_config,
+            )
+
+            ccfg = infer_conditioner_config(cond_params, pr_cfg.n_ctx, pr_cfg.width)
+            raw_to_tokens = 1
+            for d, s in zip(vq_cfg.downs_t, vq_cfg.strides_t):
+                raw_to_tokens *= s**d
+            if metadata is None:
+                metadata = dummy_metadata(ccfg, raw_to_tokens,
+                                          artist_id=artist_id, genre_id=genre_id)
+            x_cond, y_cond = get_cond(ccfg, cond_params, metadata)
+            kw.setdefault("x_cond", x_cond[:1])
+            kw.setdefault("y_cond", y_cond[:1])
+        return cls(vq_cfg, pr_cfg, vq_params, pr_params, **kw)
 
     @classmethod
     def random_init(cls, vq_cfg=None, prior_cfg=None, seed=0, **kw):
@@ -188,7 +242,8 @@ class JukeboxEncoder:
                 audio = np.concatenate([audio, np.zeros((pad,) + audio.shape[1:],
                                                         audio.dtype)])
         acts = self._encode(
-            self.vq_params, self.prior_params, self._prepare_transfer(audio)
+            self.vq_params, self.prior_params, self._prepare_transfer(audio),
+            *(self._conds or ()),
         )
         acts = np.asarray(acts).astype(np.float32)[:n]
         return acts, self._frame_counts(input_lengths)
@@ -220,7 +275,8 @@ class JukeboxEncoder:
                         [audio, np.zeros((pad,) + audio.shape[1:], audio.dtype)]
                     )
             dev = self._encode(
-                self.vq_params, self.prior_params, self._prepare_transfer(audio)
+                self.vq_params, self.prior_params, self._prepare_transfer(audio),
+                *(self._conds or ()),
             )  # async dispatch
             if pending is not None:
                 acts, n_real, lens = pending

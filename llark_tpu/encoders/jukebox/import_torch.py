@@ -73,7 +73,12 @@ def convert_vqvae(sd: Dict[str, Any], cfg: JukeboxVQVAEConfig) -> Dict[str, Any]
                 "down_b": _np(sd[f"{base}.0.bias"]),
                 "res": [],
             }
-            for d in range(cfg.depth):
+            # probe the res-block count from the checkpoint keys instead of
+            # trusting cfg.depth: encoder depth is width-multiplier-scaled
+            # per encoder in the openai hps, so a config/checkpoint mismatch
+            # must fail loudly below, never silently truncate the resnet
+            d = 0
+            while f"{base}.1.model.{d}.model.1.weight" in sd:
                 rbase = f"{base}.1.model.{d}.model"
                 stage["res"].append(
                     {
@@ -82,6 +87,13 @@ def convert_vqvae(sd: Dict[str, Any], cfg: JukeboxVQVAEConfig) -> Dict[str, Any]
                         "w2": _np(sd[f"{rbase}.3.weight"]),
                         "b2": _np(sd[f"{rbase}.3.bias"]),
                     }
+                )
+                d += 1
+            if d != cfg.top_depth:
+                raise ValueError(
+                    f"{base}: checkpoint has {d} res blocks, config expects "
+                    f"top_depth={cfg.top_depth} (depth {cfg.depth} x "
+                    f"multiplier {cfg.multipliers[top]})"
                 )
             stages.append(stage)
         proj_key = f"{block_prefix}.model.{cfg.downs_t[level]}"
@@ -138,7 +150,13 @@ def convert_prior(sd: Dict[str, Any], cfg: JukeboxPriorConfig) -> Dict[str, Any]
     }
 
 
-def infer_prior_config(sd: Dict[str, Any], depth: int = 36) -> JukeboxPriorConfig:
+def infer_prior_config(
+    sd: Dict[str, Any], depth: int = 36, heads: int = 8, blocks: int = 0
+) -> JukeboxPriorConfig:
+    """Sizes come from tensor shapes; `heads` and `blocks` are not
+    recoverable from shapes and must match the training config (5b top
+    prior: heads=8, blocks=128). blocks=0 -> n_ctx // 64 (block_ctx is 64
+    in every public prior)."""
     sd = strip_module(sd)
     def shape(name):
         for prefix in ("prior.", ""):
@@ -155,9 +173,65 @@ def infer_prior_config(sd: Dict[str, Any], depth: int = 36) -> JukeboxPriorConfi
         n_ctx=int(n_ctx),
         width=int(width),
         depth=depth,
+        heads=heads,
         bins=int(bins),
+        blocks=blocks or int(n_ctx) // 64,
         m_attn=(attn3 // 3) / width,
         m_mlp=mlp_w / width,
+    )
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Invert the dotted-key flattening below; integer path components
+    become list indices."""
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = root
+        for i, part in enumerate(parts):
+            last = i == len(parts) - 1
+            node = node.setdefault(part, value if last else {})
+
+    def materialize(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(re.fullmatch(r"\d+", k) for k in node):
+            return [materialize(node[str(i)]) for i in range(len(node))]
+        return {k: materialize(v) for k, v in node.items()}
+
+    return materialize(root)
+
+
+def load_npz(path: str):
+    """Read an importer-produced npz back into (vq_cfg, prior_cfg,
+    vq_params, prior_params, cond_params|None, conds|None)."""
+    import json
+
+    z = np.load(path)
+    vq_cfg = JukeboxVQVAEConfig(
+        **{k: tuple(v) if isinstance(v, list) else v
+           for k, v in json.loads(bytes(z["__vq_cfg__"]).decode()).items()}
+    )
+    pr_cfg = JukeboxPriorConfig(
+        **json.loads(bytes(z["__prior_cfg__"]).decode())
+    )
+    groups: Dict[str, Dict[str, np.ndarray]] = {"vq": {}, "prior": {}, "cond": {}}
+    conds = {}
+    for key in z.files:
+        if key.startswith("__"):
+            continue
+        head, _, rest = key.partition(".")
+        if head in groups:
+            groups[head][rest] = z[key]
+        elif head in ("x_cond", "y_cond"):
+            conds[head] = z[key]
+    return (
+        vq_cfg,
+        pr_cfg,
+        _unflatten(groups["vq"]),
+        _unflatten(groups["prior"]),
+        _unflatten(groups["cond"]) if groups["cond"] else None,
+        conds or None,
     )
 
 
@@ -168,16 +242,38 @@ def main(argv=None):
     p.add_argument("--vqvae", required=True)
     p.add_argument("--prior", required=True)
     p.add_argument("--depth", type=int, default=36)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--blocks", type=int, default=0, help="0 = n_ctx // 64")
     p.add_argument("--output", required=True)
     p.add_argument("--conds", default=None, help="npz with x_cond/y_cond")
+    p.add_argument("--vq-width", type=int, default=32)
+    p.add_argument("--vq-depth", type=int, default=4)
+    p.add_argument("--vq-emb-width", type=int, default=64)
+    p.add_argument("--vq-bins", type=int, default=2048)
     args = p.parse_args(argv)
 
     vq_sd = torch.load(args.vqvae, map_location="cpu")["model"]
     pr_sd = torch.load(args.prior, map_location="cpu")["model"]
-    vq_cfg = JukeboxVQVAEConfig()
-    pr_cfg = infer_prior_config(pr_sd, args.depth)
+    vq_cfg = JukeboxVQVAEConfig(
+        width=args.vq_width, depth=args.vq_depth,
+        emb_width=args.vq_emb_width, l_bins=args.vq_bins,
+    )
+    pr_cfg = infer_prior_config(pr_sd, args.depth, heads=args.heads,
+                                blocks=args.blocks)
     vq_params = convert_vqvae(vq_sd, vq_cfg)
     pr_params = convert_prior(pr_sd, pr_cfg)
+
+    # label-conditioner tables (x_cond/y_cond computation at load time;
+    # reference: jukebox/main.py:71-98) — optional: absent in truncated
+    # test fixtures, present in the public prior checkpoints
+    cond_params = None
+    try:
+        from llark_tpu.encoders.jukebox.conditioner import convert_conditioner
+
+        cond_params = convert_conditioner(strip_module(pr_sd))
+    except KeyError:
+        print("no y_emb.* conditioner tables in the prior checkpoint; "
+              "x_cond/y_cond default to zeros unless --conds is given")
 
     flat: Dict[str, np.ndarray] = {}
 
@@ -193,6 +289,8 @@ def main(argv=None):
 
     put("vq", vq_params)
     put("prior", pr_params)
+    if cond_params is not None:
+        put("cond", cond_params)
     if args.conds:
         conds = np.load(args.conds)
         flat["x_cond"] = conds["x_cond"]

@@ -78,31 +78,34 @@ def init_vqvae_params(cfg: JukeboxVQVAEConfig, key: jax.Array) -> Params:
         fan_in = shape[1] * shape[2] if len(shape) == 3 else shape[0]
         return jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)
 
+    # the params tree models the TOP encoder chain (the only encoder the
+    # embedding path consumes), so width/depth take the top multiplier
+    width, depth = cfg.top_width, cfg.top_depth
     levels = []
     for level in range(cfg.levels):
         in_ch = 1 if level == 0 else cfg.emb_width
         stages = []
         for stage_idx in range(cfg.downs_t[level]):
-            c_in = in_ch if stage_idx == 0 else cfg.width
+            c_in = in_ch if stage_idx == 0 else width
             stride = cfg.strides_t[level]
             stage = {
-                "down_w": w((cfg.width, c_in, stride * 2)),
-                "down_b": jnp.zeros((cfg.width,)),
+                "down_w": w((width, c_in, stride * 2)),
+                "down_b": jnp.zeros((width,)),
                 "res": [
                     {
-                        "w1": w((int(cfg.m_conv * cfg.width), cfg.width, 3)),
-                        "b1": jnp.zeros((int(cfg.m_conv * cfg.width),)),
-                        "w2": w((cfg.width, int(cfg.m_conv * cfg.width), 1)),
-                        "b2": jnp.zeros((cfg.width,)),
+                        "w1": w((int(cfg.m_conv * width), width, 3)),
+                        "b1": jnp.zeros((int(cfg.m_conv * width),)),
+                        "w2": w((width, int(cfg.m_conv * width), 1)),
+                        "b2": jnp.zeros((width,)),
                     }
-                    for _ in range(cfg.depth)
+                    for _ in range(depth)
                 ],
             }
             stages.append(stage)
         levels.append(
             {
                 "stages": stages,
-                "proj_w": w((cfg.emb_width, cfg.width, 3)),
+                "proj_w": w((cfg.emb_width, width, 3)),
                 "proj_b": jnp.zeros((cfg.emb_width,)),
             }
         )
