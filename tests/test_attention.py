@@ -156,3 +156,57 @@ def test_flash_backward_chunked_matches_dense():
     g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_flash_backward_gqa_grads():
+    """Fused Pallas backward with GQA (group=4): dk/dv group-summed correctly."""
+    import jax
+    import jax.numpy as jnp
+    from llark_tpu.ops.attention import multihead_attention, xla_attention
+
+    B, H, HKV, S, D = 1, 8, 2, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, HKV, S, D), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = multihead_attention(q, k, v, causal=True, use_pallas=True,
+                                  interpret=True, block_q=128, block_k=128)
+        return jnp.sum(out * out)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_flash_backward_noncausal_grads():
+    """Fused Pallas backward, bidirectional attention."""
+    import jax
+    import jax.numpy as jnp
+    from llark_tpu.ops.attention import multihead_attention, xla_attention
+
+    B, H, S, D = 1, 2, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, S, D), jnp.float32)
+    kv_len = jnp.array([256], jnp.int32)
+
+    def loss_flash(q, k, v):
+        out = multihead_attention(q, k, v, causal=False, kv_lengths=kv_len,
+                                  use_pallas=True, interpret=True,
+                                  block_q=128, block_k=128)
+        return jnp.sum(out * out)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal=False, kv_lengths=kv_len) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
