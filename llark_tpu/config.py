@@ -222,6 +222,11 @@ class TrainingArguments:
     # a checkpoint, and exit cleanly so --resume continues from it (TPU
     # spot/maintenance events; the reference relies on save_steps alone)
     checkpoint_on_preemption: bool = True
+    # experiment tracking (reference: train_llark.sh:33 `--report_to wandb`):
+    # "jsonl" appends <output_dir>/metrics.jsonl per logged step;
+    # "tensorboard" additionally writes TB events under <output_dir>/tb;
+    # "none" disables tracking (stdout logging is unaffected)
+    report_to: str = "jsonl"
 
 
 def write_args_to_file(args_list, output_dir: str) -> None:

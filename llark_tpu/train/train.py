@@ -454,6 +454,11 @@ def train(
     profiling = False
     guard = PreemptionGuard(training_args.checkpoint_on_preemption)
     preempted = False
+    from llark_tpu.train.step import lr_schedule
+    from llark_tpu.train.tracking import MetricsWriter
+
+    schedule = lr_schedule(training_args)
+    tracker = MetricsWriter(training_args.output_dir, training_args.report_to)
     try:
         with mesh:
             first = True
@@ -498,10 +503,19 @@ def train(
                         dt,
                         float(metrics["num_tokens"]) / dt,
                     )
+                    tracker.log(
+                        step_i,
+                        loss=loss,
+                        grad_norm=float(metrics["grad_norm"]),
+                        learning_rate=float(schedule(step_i)),
+                        step_time_s=dt,
+                        tokens_per_s=float(metrics["num_tokens"]) / dt,
+                    )
                 if eval_every and (step_i + 1) % eval_every == 0:
                     ev = run_eval(state.params)
                     eval_history.append((step_i + 1, ev))
                     log.info("step %d eval_loss %.4f", step_i + 1, ev)
+                    tracker.log(step_i + 1, eval_loss=ev)
                 if (step_i + 1) % training_args.save_steps == 0:
                     ckpt.save(step_i + 1, state, {"seed": training_args.seed, "batches_seen": step_i + 1})
                 if guard.triggered:
@@ -513,6 +527,7 @@ def train(
     finally:
         # never leak the signal handlers, even on exceptions
         guard.restore()
+        tracker.close()
 
     final_step = int(state.step)
     if final_step > start_step:

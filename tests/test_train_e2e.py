@@ -238,3 +238,35 @@ def test_eval_subsample_and_freeze_projector(tmp_path):
     np.testing.assert_array_equal(
         params["mm_projector"]["kernel"], init["mm_projector"]["kernel"]
     )
+
+
+def test_metrics_tracking_jsonl_and_tensorboard(tmp_path):
+    """report_to=tensorboard writes metrics.jsonl (resume-appends) + TB events."""
+    import json
+
+    shard = write_shards(tmp_path)
+    model_args, data_args, training_args = make_args(
+        tmp_path, shard, max_steps=2, report_to="tensorboard", eval_steps=2,
+    )
+    data_args.eval_data_path = data_args.train_data_path
+    train(model_args, data_args, training_args)
+    mpath = tmp_path / "out" / "metrics.jsonl"
+    recs = [json.loads(ln) for ln in open(mpath)]
+    steps = {r["step"] for r in recs}
+    assert {0, 1} <= steps
+    train_recs = [r for r in recs if "loss" in r]
+    assert all(
+        k in r for r in train_recs
+        for k in ("loss", "grad_norm", "learning_rate", "step_time_s", "tokens_per_s")
+    )
+    assert any("eval_loss" in r for r in recs)
+    # TB event files written
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "out" / "tb" / "events.*"))
+    # resume appends to the same stream with later steps
+    training_args.max_steps = 4
+    train(model_args, data_args, training_args)
+    recs2 = [json.loads(ln) for ln in open(mpath)]
+    assert len(recs2) > len(recs)
+    assert max(r["step"] for r in recs2) >= 3
