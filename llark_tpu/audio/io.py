@@ -24,6 +24,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from llark_tpu import storage
 from llark_tpu.native.build import load_library
 
 log = logging.getLogger(__name__)
@@ -124,8 +125,7 @@ def write_wav(path: str, samples: np.ndarray, sr: int = DEFAULT_SR) -> None:
         "<IHHIIHH", 16, 1, n_ch, sr, sr * n_ch * 2, n_ch * 2, 16
     )
     hdr += b"data" + struct.pack("<I", len(data))
-    with open(path, "wb") as f:
-        f.write(hdr + data)
+    storage.write_bytes(path, hdr + data)
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +218,10 @@ def peak_normalize(x: np.ndarray) -> np.ndarray:
 def read_wav(
     filepath: str, target_sr: int = DEFAULT_SR, duration: Optional[float] = None
 ) -> Tuple[np.ndarray, int]:
-    """Read + mono-mix + resample a WAV file (reference read_wav contract)."""
-    with open(filepath, "rb") as f:
-        data = f.read()
+    """Read + mono-mix + resample a WAV file (reference read_wav contract,
+    incl. the gs:// blob case — m2t/gcs_utils.py:96-140 — via the fsspec
+    storage seam)."""
+    data = storage.read_bytes(filepath)
     samples, sr = parse_wav_bytes(data)
     if duration is not None:
         samples = samples[: int(sr * duration)]
@@ -233,17 +234,20 @@ def convert_to_wav(
     input_path: str, output_path: str, sample_rate: int = DEFAULT_SR
 ) -> str:
     """Any-format -> mono WAV at sample_rate. ffmpeg when installed
-    (reference m2t/audio_io.py:21-35); native WAV path otherwise."""
+    (reference m2t/audio_io.py:21-35); native WAV path otherwise. Remote
+    input/output URLs are staged through temp files for ffmpeg."""
     try:
-        subprocess.run(
-            [
-                "ffmpeg", "-y", "-i", input_path,
-                "-ar", str(sample_rate), "-ac", "1", "-f", "wav", output_path,
-            ],
-            check=True,
-            capture_output=True,
-            timeout=600,
-        )
+        with storage.local_input(input_path) as lin, \
+                storage.local_output(output_path) as lout:
+            subprocess.run(
+                [
+                    "ffmpeg", "-y", "-i", lin,
+                    "-ar", str(sample_rate), "-ac", "1", "-f", "wav", lout,
+                ],
+                check=True,
+                capture_output=True,
+                timeout=600,
+            )
         return output_path
     except (subprocess.SubprocessError, FileNotFoundError):
         if not input_path.lower().endswith(".wav"):

@@ -13,12 +13,15 @@ shard-list level in `data/shards.py`.
 
 from __future__ import annotations
 
+import io
 import json
 import logging
 import os
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+from llark_tpu import storage
 
 log = logging.getLogger(__name__)
 
@@ -73,7 +76,7 @@ def record_to_sample(rec: Dict[str, Any]) -> Optional[Dict[str, Any]]:
 
 
 def iter_jsonl_records(path: str) -> Iterator[Dict[str, Any]]:
-    with open(path, "r", encoding="utf-8") as f:
+    with storage.fopen(path, "rb") as fb, io.TextIOWrapper(fb, encoding="utf-8") as f:
         if path.endswith(".json"):
             decoded = json.load(f)
             if not isinstance(decoded, list):
@@ -95,7 +98,7 @@ def iter_msgpack_records(path: str) -> Iterator[Dict[str, Any]]:
         raise ImportError(
             "msgpack is not available; install it or repack shards as .jsonl/.tar"
         )
-    with open(path, "rb") as f:
+    with storage.fopen(path, "rb") as f:
         decoded = msgpack.unpackb(f.read(), raw=False)
     if not isinstance(decoded, list):
         raise ValueError(f"expected list after decoding {path}; got {type(decoded)}")
@@ -122,7 +125,7 @@ class RecordShardReader:
                 "repack as .jsonl/.tar"
             )
         for path in self.paths:
-            if not os.path.exists(path):
+            if not storage.exists(path):
                 if self.handler == "raise":
                     raise FileNotFoundError(path)
                 log.warning("skipping nonexistent shard %s", path)

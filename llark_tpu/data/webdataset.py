@@ -18,6 +18,7 @@ tensors are converted to numpy when torch is importable), .npy -> numpy.
 
 from __future__ import annotations
 
+import contextlib
 import io
 import json
 import logging
@@ -27,6 +28,8 @@ import tarfile
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+from llark_tpu import storage
 
 log = logging.getLogger(__name__)
 
@@ -79,7 +82,12 @@ class TarShardReader:
     def _native_parsable(path: str) -> bool:
         """The C++ loader reads raw ustar only: gzipped (.tar.gz magic
         0x1f8b), missing, or short files would silently yield ZERO samples
-        there, while the Python tarfile path handles them transparently."""
+        there, while the Python tarfile path handles them transparently.
+        Remote (gs://, memory://, ...) shards always take the Python
+        streaming reader — the fsspec equivalent of the reference's
+        `pipe:gsutil cat` (m2t/data_modules.py:430-433)."""
+        if storage.is_remote(path):
+            return False
         try:
             with open(path, "rb") as f:
                 head = f.read(512)
@@ -125,7 +133,9 @@ class TarShardReader:
             yield sample
 
     def _iter_shard(self, path: str) -> Iterator[Dict[str, Any]]:
-        with tarfile.open(path, "r|*") as tf:
+        with contextlib.ExitStack() as stack:
+            fobj = stack.enter_context(storage.fopen(path, "rb"))
+            tf = stack.enter_context(tarfile.open(fileobj=fobj, mode="r|*"))
             current_key: Optional[str] = None
             sample: Dict[str, Any] = {}
             for member in tf:
@@ -167,8 +177,14 @@ class TarShardWriter:
     def _ensure_open(self):
         if self._tar is None:
             path = self.pattern % self.shard_idx
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            self._tar = tarfile.open(path, "w")
+            if storage.is_remote(path):
+                # stream-write ("w|") straight to the object store
+                self._fileobj = storage.fopen(path, "wb")
+                self._tar = tarfile.open(fileobj=self._fileobj, mode="w|")
+            else:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                self._tar = tarfile.open(path, "w")
+                self._fileobj = None
             self.written_paths.append(path)
 
     def write(self, sample: Dict[str, Any]) -> None:
@@ -201,6 +217,9 @@ class TarShardWriter:
         if self._tar is not None:
             self._tar.close()
             self._tar = None
+        if getattr(self, "_fileobj", None) is not None:
+            self._fileobj.close()
+            self._fileobj = None
         self.shard_idx += 1
         self.count = 0
 
@@ -208,6 +227,9 @@ class TarShardWriter:
         if self._tar is not None:
             self._tar.close()
             self._tar = None
+        if getattr(self, "_fileobj", None) is not None:
+            self._fileobj.close()
+            self._fileobj = None
 
     def __enter__(self):
         return self

@@ -32,6 +32,8 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from llark_tpu import storage
+
 log = logging.getLogger("llark_tpu.extract")
 
 
@@ -44,13 +46,21 @@ def list_shard(input_dir: str, num_shards: int, shard_index: int,
     if skip_existing:
         files = [
             f for f in files
-            if not os.path.exists(os.path.join(output_dir, _npy_name(f)))
+            if not storage.exists(storage.join(output_dir, _npy_name(f)))
         ]
     return files
 
 
 def _npy_name(wav_name: str) -> str:
     return os.path.splitext(wav_name)[0] + ".npy"
+
+
+def _save_npy(path, arr):
+    """np.save through the storage seam (gs:// outputs like the
+    reference's Dataflow writers; m2t/gcs_utils.py:165-198)."""
+    storage.makedirs_for(path)
+    with storage.fopen(path, "wb") as f:
+        np.save(f, arr)
 
 
 def _batched(seq: List[str], n: int) -> Iterator[List[str]]:
@@ -181,7 +191,7 @@ def run_jukebox(ns) -> int:
     for group, (acts, counts) in zip(_batched(files, ns.batch_size), stream):
         for i, name in enumerate(group):
             out = acts[i, : counts[i]].astype(np.float32)
-            np.save(os.path.join(ns.output_dir, _npy_name(name)), out)
+            _save_npy(storage.join(ns.output_dir, _npy_name(name)), out)
             n_done += 1
     dt = time.time() - t0
     log.info("wrote %d embeddings in %.1fs (%.2f clips/s)", n_done, dt,
@@ -239,7 +249,7 @@ def run_clap(ns) -> int:
             clips.append(prepare_clip(quantize_roundtrip(samples), rng=trunc_rng))
         emb = enc.embed_batch(np.stack(clips))
         for i, name in enumerate(group):
-            np.save(os.path.join(ns.output_dir, _npy_name(name)),
+            _save_npy(storage.join(ns.output_dir, _npy_name(name)),
                     emb[i : i + 1].astype(np.float32))
             n_done += 1
     dt = time.time() - t0

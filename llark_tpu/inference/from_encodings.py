@@ -15,6 +15,8 @@ import os
 
 import numpy as np
 
+from llark_tpu import storage
+
 from llark_tpu.infer import batch_infer
 from llark_tpu.inference.common import (
     add_generation_args,
@@ -26,6 +28,12 @@ from llark_tpu.inference.common import (
 )
 from llark_tpu.models.utils import load_pretrained_model
 
+
+def _load_npy(path):
+    import io as _io
+
+    with storage.fopen(path, "rb") as f:
+        return np.load(_io.BytesIO(f.read()))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -45,14 +53,14 @@ def main(argv=None):
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
     cfg = apply_serving_overrides(args, cfg)
 
-    files = sorted(glob.glob(os.path.join(args.encodings_dir, "*.npy")))
+    files = storage.fs_glob(storage.join(args.encodings_dir, "*.npy"))
     if args.max_samples:
         files = files[: args.max_samples]
     rows = [
         {
             "example_id": os.path.splitext(os.path.basename(f))[0],
             "prompt": args.prompt,
-            "audio_encoding": np.load(f),
+            "audio_encoding": _load_npy(f),
         }
         for f in files
     ]

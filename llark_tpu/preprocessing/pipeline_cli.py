@@ -27,6 +27,8 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
+from llark_tpu import storage
+
 from llark_tpu.audio.annotate import annotate_elem
 from llark_tpu.audio.io import (
     DEFAULT_SR,
@@ -55,12 +57,16 @@ def _convert_one(args: Tuple[str, str, int]) -> Optional[str]:
 
 
 def cmd_convert(ns):
-    os.makedirs(ns.output_dir, exist_ok=True)
-    files = sorted(
-        f
-        for f in glob.glob(os.path.join(ns.input_dir, "*"))
-        if os.path.isfile(f)
-    )
+    if not storage.is_remote(ns.output_dir):
+        os.makedirs(ns.output_dir, exist_ok=True)
+    if storage.is_remote(ns.input_dir):
+        files = storage.fs_glob(storage.join(ns.input_dir, "*"))
+    else:
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(ns.input_dir, "*"))
+            if os.path.isfile(f)
+        )
     with Pool(ns.workers) as pool:
         results = pool.map(
             _convert_one, [(f, ns.output_dir, ns.sample_rate) for f in files]
@@ -92,8 +98,9 @@ def _crop_one(args) -> List[str]:
 
 
 def cmd_crop(ns):
-    os.makedirs(ns.output_dir, exist_ok=True)
-    files = sorted(glob.glob(os.path.join(ns.input_dir, "*.wav")))
+    if not storage.is_remote(ns.output_dir):
+        os.makedirs(ns.output_dir, exist_ok=True)
+    files = storage.fs_glob(storage.join(ns.input_dir, "*.wav"))
     with Pool(ns.workers) as pool:
         results = pool.map(
             _crop_one,
@@ -106,8 +113,8 @@ def cmd_crop(ns):
 def _annotate_one(args) -> Optional[Dict[str, Any]]:
     row, audio_dir, id_col, id_to_filename = args
     fname = id_to_filename.format(id=row[id_col])
-    path = os.path.join(audio_dir, fname)
-    if not os.path.exists(path):
+    path = storage.join(audio_dir, fname)
+    if not storage.exists(path):
         log.warning("missing audio for %s; skipping", row.get(id_col))
         return None
     try:
@@ -125,16 +132,16 @@ def _annotate_one(args) -> Optional[Dict[str, Any]]:
 
 
 def cmd_annotate(ns):
-    with open(ns.input_jsonl) as f:
+    with storage.fopen(ns.input_jsonl, "rb") as f:
         rows = [json.loads(line) for line in f if line.strip()]
     tasks = [(r, ns.audio_dir, ns.id_col, ns.id_to_filename) for r in rows]
     with Pool(ns.workers) as pool:
         results = pool.map(_annotate_one, tasks)
     results = [r for r in results if r is not None]
-    os.makedirs(os.path.dirname(ns.output) or ".", exist_ok=True)
-    with open(ns.output, "w") as f:
+    storage.makedirs_for(ns.output)
+    with storage.fopen(ns.output, "wb") as fb:
         for r in results:
-            f.write(json.dumps(r) + "\n")
+            fb.write((json.dumps(r) + "\n").encode())
     print(f"annotated {len(results)}/{len(rows)} rows -> {ns.output}")
 
 
@@ -219,10 +226,10 @@ def crop_annotation_row(
 
 
 def cmd_crop_annotations(ns):
-    with open(ns.annotations_file) as f:
+    with storage.fopen(ns.annotations_file, "rb") as f:
         rows = [json.loads(line) for line in f if line.strip()]
     by_id = {str(r[ns.id_col]): r for r in rows}
-    crop_files = sorted(glob.glob(os.path.join(ns.audio_dir, "*.wav")))
+    crop_files = storage.fs_glob(storage.join(ns.audio_dir, "*.wav"))
     out_rows = []
     for id_, start, end in parse_cropped_filenames(crop_files):
         row = by_id.get(str(id_))
@@ -235,10 +242,10 @@ def cmd_crop_annotations(ns):
         cropped["source_id"] = str(id_)
         cropped[ns.id_col] = f"{id_}{make_start_end_str(start, end)}"
         out_rows.append(cropped)
-    os.makedirs(os.path.dirname(ns.output) or ".", exist_ok=True)
-    with open(ns.output, "w") as f:
+    storage.makedirs_for(ns.output)
+    with storage.fopen(ns.output, "wb") as fb:
         for r in out_rows:
-            f.write(json.dumps(r) + "\n")
+            fb.write((json.dumps(r) + "\n").encode())
     print(f"wrote {len(out_rows)} cropped annotation rows -> {ns.output}")
 
 

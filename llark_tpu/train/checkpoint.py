@@ -13,6 +13,7 @@ Parity targets:
 
 from __future__ import annotations
 
+import io
 import os
 from typing import Any, Dict, Optional
 
@@ -30,8 +31,12 @@ class CheckpointManager:
         save_total_limit: int = 1,
         save_projector: bool = False,
     ):
-        self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        # local dirs -> abspath + mkdir; gs:// (and other remote URLs)
+        # pass through — orbax/tensorstore speaks them natively (the
+        # reference checkpoints to GCS via gsutil; m2t/gcs_utils.py)
+        from llark_tpu import storage
+
+        self.directory = storage.normalize_checkpoint_dir(directory)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max(1, save_total_limit), create=True
         )
@@ -56,14 +61,17 @@ class CheckpointManager:
     def _save_projector(self, step: int, params: Dict[str, Any]):
         """Side-save of adapter weights as a plain npz (host-readable without
         orbax; mirrors mm_projector/checkpoint-N.bin)."""
-        proj_dir = os.path.join(self.directory, "mm_projector")
-        os.makedirs(proj_dir, exist_ok=True)
+        from llark_tpu import storage
+
         out = {}
         if "mm_projector" in params:
             out["mm_projector.kernel"] = np.asarray(params["mm_projector"]["kernel"])
             out["mm_projector.bias"] = np.asarray(params["mm_projector"]["bias"])
         out["embed"] = np.asarray(params["embed"])
-        np.savez(os.path.join(proj_dir, f"checkpoint-{step}.npz"), **out)
+        path = storage.join(self.directory, "mm_projector", f"checkpoint-{step}.npz")
+        storage.makedirs_for(path)
+        with storage.fopen(path, "wb") as f:
+            np.savez(f, **out)
 
     def restore(self, state: TrainState, step: Optional[int] = None):
         """Restore into the (possibly sharded) structure of `state`.
@@ -114,8 +122,11 @@ class CheckpointManager:
 
 def load_projector_weights(path: str) -> Dict[str, np.ndarray]:
     """Load a side-saved projector npz (pretrain_mm_mlp_adapter parity)."""
-    data = np.load(path)
-    return {k: data[k] for k in data.files}
+    from llark_tpu import storage
+
+    with storage.fopen(path, "rb") as f:
+        data = np.load(io.BytesIO(f.read()))
+        return {k: data[k] for k in data.files}
 
 
 def apply_pretrained_projector(params: Dict[str, Any], weights: Dict[str, np.ndarray]):
