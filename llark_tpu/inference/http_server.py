@@ -101,6 +101,9 @@ class OnlineEngine:
             ev.set()
 
     def start(self) -> "OnlineEngine":
+        if self.server.driver is not None:
+            raise RuntimeError("server already has a driver")
+        self.server.driver = self  # blocks direct serve() calls (cache race)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
         return self
@@ -109,6 +112,8 @@ class OnlineEngine:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        if self.server.driver is self:
+            self.server.driver = None
 
     def stats(self) -> dict:
         srv = self.server

@@ -120,6 +120,10 @@ class BatchedServer:
         self._tokens_in_flight = np.zeros((max_batch,), np.int32)  # pending device col
         self._queue: List[Request] = []
         self._rng = jax.random.PRNGKey(0)
+        # exclusive-driver guard: an OnlineEngine claims the server on
+        # start(); serve() refuses to run concurrently — two drivers would
+        # race _decode_round over the DONATED kv-cache buffer
+        self.driver = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -315,6 +319,12 @@ class BatchedServer:
     def serve(self, requests: List[Request]) -> List[Request]:
         """Run all requests to completion with continuous batching; returns
         the same list with tokens/timestamps filled."""
+        if self.driver is not None:
+            raise RuntimeError(
+                "server is driven by an OnlineEngine; submit through "
+                "engine.generate() instead of serve() (concurrent drivers "
+                "race over the donated KV cache)"
+            )
         now = time.time()
         cap = min(
             self.max_cache_len - self.gen_cfg.max_new_tokens - self.decode_chunk,

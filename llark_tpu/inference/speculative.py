@@ -79,6 +79,29 @@ def ngram_propose(
     return [int(h[-1])] * gamma
 
 
+def simulate_ngram_acceptance(
+    tokens: Sequence[int], prompt_len: int, gamma: int = 4, max_k: int = 3
+) -> Tuple[float, int]:
+    """Replay n-gram drafting over an already-generated sequence and report
+    (acceptance_rate, rounds): what fraction of proposed tokens WOULD have
+    been accepted had this output been decoded speculatively. Host-only;
+    lets serving benches report prompt-lookup potential without re-decoding
+    (bench_serving's `ngram_acceptance` field)."""
+    seq = list(map(int, tokens))
+    pos = prompt_len + 1  # the first output token is emitted by prefill
+    accepted = proposed = rounds = 0
+    while pos < len(seq):
+        props = ngram_propose(seq[:pos], gamma, max_k)
+        m = 0
+        while m < gamma and pos + m < len(seq) and props[m] == seq[pos + m]:
+            m += 1
+        accepted += m
+        proposed += gamma
+        rounds += 1
+        pos += m + 1  # the round's mismatch position emits the target token
+    return (accepted / proposed if proposed else 0.0), rounds
+
+
 def _make_verify_fn(cfg: ModelConfig, gen_cfg: GenerationConfig, gamma: int):
     """Jitted target verification over [last_token, d_1..d_gamma].
 

@@ -46,4 +46,17 @@ t0 = time.time()
 out = server.serve(reqs)
 stats = server.stats(out)
 stats["wall_s"] = round(time.time() - t0, 1)
+
+# prompt-lookup potential on the outputs actually served: what acceptance
+# an n-gram speculative decoder would have seen (no re-decode needed)
+from llark_tpu.inference.speculative import simulate_ngram_acceptance
+
+rates = [
+    simulate_ngram_acceptance(
+        list(r.input_ids) + list(r.tokens), len(r.input_ids), gamma=4
+    )[0]
+    for r in out
+    if r.tokens
+]
+stats["ngram_acceptance_g4"] = round(float(np.mean(rates)), 3) if rates else None
 print(stats)

@@ -64,7 +64,7 @@ def stack():
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield cfg, bundle, server, port
+    yield cfg, bundle, server, port, engine
     httpd.shutdown()
     engine.stop()
 
@@ -81,7 +81,7 @@ def _post(port, payload, timeout=120):
 
 def test_http_per_request_max_new_tokens(stack):
     # ADVICE r1 (low): documented max_new_tokens field was ignored
-    cfg, bundle, server, port = stack
+    cfg, bundle, server, port, _engine = stack
     out_full = _post(port, {"prompt": "describe this sound ."})
     out_one = _post(port, {"prompt": "describe this sound .",
                            "max_new_tokens": 1})
@@ -97,7 +97,7 @@ def test_http_per_request_max_new_tokens(stack):
 
 def test_http_body_cap_413_before_read(stack):
     # ADVICE r1 (low): unbounded Content-Length read
-    cfg, bundle, server, port = stack
+    cfg, bundle, server, port, _engine = stack
     cap = 4 * server.max_audio_frames * cfg.mm_hidden_size * 4 * 4 // 3 + 65536
     blob = {"prompt": "x" * (cap + 1024)}
     try:
@@ -109,11 +109,14 @@ def test_http_body_cap_413_before_read(stack):
 
 
 def test_request_max_new_tokens_clamps_in_engine(stack):
-    cfg, bundle, server, port = stack
+    # engine-level (below HTTP) per-request clamp. NOTE: must go through
+    # the engine — calling server.serve() directly while an OnlineEngine
+    # owns the server races two decode drivers over the donated KV cache.
+    cfg, bundle, server, port, engine = stack
     from llark_tpu.infer import build_prompt_ids
 
     ids = np.asarray(build_prompt_ids("hello world .", 0, bundle), np.int32)
-    [req] = server.serve([Request(ids, None, max_new_tokens=3)])
+    req = engine.generate(Request(ids, None, max_new_tokens=3), timeout=300)
     assert req.done and len(req.tokens) == 3
 
 
@@ -142,3 +145,12 @@ def test_eval_runs_in_micro_batches(tmp_path, monkeypatch):
     stacked = np.concatenate([c["input_ids"] for c in chunks])
     assert np.array_equal(stacked, eb["input_ids"])
     assert train_mod is not None  # import smoke
+
+
+def test_direct_serve_refused_while_engine_owns_server(stack):
+    cfg, bundle, server, port, _engine = stack
+    from llark_tpu.infer import build_prompt_ids
+
+    ids = np.asarray(build_prompt_ids("hello .", 0, bundle), np.int32)
+    with pytest.raises(RuntimeError, match="OnlineEngine"):
+        server.serve([Request(ids, None)])

@@ -160,3 +160,40 @@ def test_model_draft_survives_len1_history_row():
     assert out[0] == []
     expect1 = ref[1][: ref[1].index(eos)] if eos in ref[1] else ref[1]
     assert out[1] == expect1
+
+
+def test_simulate_ngram_acceptance_replay():
+    from llark_tpu.inference.speculative import (
+        ngram_propose,
+        simulate_ngram_acceptance,
+    )
+
+    # a perfectly periodic sequence: after the first period, prompt lookup
+    # proposes the exact continuation every round -> acceptance 1.0
+    period = [3, 1, 4, 1, 5, 9]
+    seq = period * 6
+    rate, rounds = simulate_ngram_acceptance(seq, prompt_len=len(period), gamma=4)
+    assert rate == 1.0
+    assert rounds > 0
+
+    # pure-random tokens: acceptance should be near zero
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    seq = list(rng.randint(0, 1000, size=200))
+    rate, _ = simulate_ngram_acceptance(seq, prompt_len=20, gamma=4)
+    assert rate < 0.2
+
+    # the replay must agree with step-by-step ngram_propose bookkeeping
+    seq = [1, 2, 3, 1, 2, 4, 1, 2, 3, 1, 2, 4, 1, 2, 3]
+    pos, acc, prop = 6, 0, 0
+    while pos < len(seq):
+        p = ngram_propose(seq[:pos], 4, 3)
+        m = 0
+        while m < 4 and pos + m < len(seq) and p[m] == seq[pos + m]:
+            m += 1
+        acc += m
+        prop += 4
+        pos += m + 1
+    rate, _ = simulate_ngram_acceptance(seq, prompt_len=5, gamma=4)
+    assert rate == acc / prop
