@@ -166,6 +166,130 @@ def _make_draft_propose_fn(cfg: ModelConfig, gamma: int):
     return propose
 
 
+def make_fused_rounds_fn(
+    cfg: ModelConfig,
+    draft_cfg: ModelConfig,
+    gen_cfg: GenerationConfig,
+    gamma: int,
+    rounds: int,
+    max_pos: int,
+):
+    """R complete speculative rounds (draft-propose -> target-verify ->
+    accept -> advance) in ONE jitted program: a lax.scan whose carry is
+    (target_cache, draft_cache, prev_tok, last_tok, pos, rng).
+
+    Host-loop speculation pays ~4 host<->device round trips per round
+    (propose dispatch, verify dispatch, two transfers); on a
+    remotely-attached chip that latency swamps the bandwidth win the
+    whole technique exists for (measured 0.52x plain decode). Fusing the
+    loop syncs the host once per R rounds — up to R*(gamma+1) emitted
+    tokens per dispatch, the speculative analogue of
+    generate.make_multistep_decode_fn's chunked decode.
+
+    Per-row device state is position-vector based (the same ragged
+    `cache_positions` contract the host loop relies on), so rejected
+    proposals are overwritten and never attended. EOS/stop handling stays
+    on the host exactly as in chunked decode: device rows keep rolling,
+    the host truncates.
+
+    Returns fused(t_params, d_params, t_cache, d_cache, prev_tok,
+    last_tok, pos, rng) -> (tokens [B, rounds, gamma+1], n_emit
+    [B, rounds], t_cache, d_cache, prev_tok, last_tok, pos, rng).
+    """
+    greedy = GenerationConfig(temperature=0.0)
+    from llark_tpu.generate import make_decode_fn
+
+    draft_decode = make_decode_fn(draft_cfg)
+
+    def one_round(t_params, d_params, carry, _):
+        t_cache, d_cache, prev_tok, last_tok, pos, rng = carry
+        rng, r_d, r_v = jax.random.split(rng, 3)
+        b = last_tok.shape[0]
+
+        # -- draft: consume [prev, last] at (pos-1, pos), roll gamma greedy
+        last2 = jnp.stack([prev_tok, last_tok], axis=1)  # [B, 2]
+        emb = decoder_lib.embed_tokens(draft_cfg, d_params, last2)
+        d_logits, d_cache = decoder_lib.decoder_forward(
+            draft_cfg,
+            d_params,
+            inputs_embeds=emb,
+            kv_cache=d_cache,
+            cache_positions=pos - 1,
+        )
+        d1 = _sample(d_logits[:, -1, :], greedy, r_d)
+
+        def draft_body(c, _):
+            tok, dc, p = c
+            lg, dc = draft_decode(d_params, tok, dc, p)
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            return (nxt, dc, p + 1), nxt
+
+        if gamma > 1:
+            (_, d_cache, _), rest = jax.lax.scan(
+                draft_body, (d1, d_cache, pos + 1), None, length=gamma - 1
+            )
+            proposals = jnp.concatenate([d1[:, None], rest.T], axis=1)
+        else:
+            proposals = d1[:, None]  # [B, gamma]
+
+        # -- target: verify [last, d_1..d_gamma] at pos..pos+gamma
+        tokens_in = jnp.concatenate([last_tok[:, None], proposals], axis=1)
+        t_emb = decoder_lib.embed_tokens(cfg, t_params, tokens_in)
+        t_logits, t_cache = decoder_lib.decoder_forward(
+            cfg,
+            t_params,
+            inputs_embeds=t_emb,
+            kv_cache=t_cache,
+            cache_positions=pos,
+        )  # [B, gamma+1, V]
+        keys = jax.random.split(r_v, gamma + 1)
+        target_toks = jnp.stack(
+            [_sample(t_logits[:, j, :], gen_cfg, keys[j]) for j in range(gamma + 1)],
+            axis=1,
+        )  # [B, gamma+1]
+        matches = (proposals == target_toks[:, :gamma]).astype(jnp.int32)
+        n_emit = jnp.sum(jnp.cumprod(matches, axis=1), axis=1) + 1  # [B]
+
+        new_last = jnp.take_along_axis(
+            target_toks, (n_emit - 1)[:, None], axis=1
+        )[:, 0]
+        prev_idx = jnp.maximum(n_emit - 2, 0)[:, None]
+        new_prev = jnp.where(
+            n_emit >= 2,
+            jnp.take_along_axis(target_toks, prev_idx, axis=1)[:, 0],
+            last_tok,
+        )
+        # clamp: rows the host has finished keep rolling on-device until the
+        # whole batch is done; freezing their position at the cache tail
+        # keeps the (harmless, never-attended) writes in bounds
+        new_pos = jnp.minimum(pos + n_emit, max_pos)
+        carry = (t_cache, d_cache, new_prev, new_last, new_pos, rng)
+        return carry, (target_toks, n_emit)
+
+    def fused(t_params, d_params, t_cache, d_cache, prev_tok, last_tok, pos, rng):
+        (t_cache, d_cache, prev_tok, last_tok, pos, rng), (toks, n_emit) = (
+            jax.lax.scan(
+                lambda c, x: one_round(t_params, d_params, c, x),
+                (t_cache, d_cache, prev_tok, last_tok, pos, rng),
+                None,
+                length=rounds,
+            )
+        )
+        # [rounds, B, g+1] -> [B, rounds, g+1]; [rounds, B] -> [B, rounds]
+        return (
+            jnp.swapaxes(toks, 0, 1),
+            n_emit.T,
+            t_cache,
+            d_cache,
+            prev_tok,
+            last_tok,
+            pos,
+            rng,
+        )
+
+    return fused
+
+
 class SpeculativeGenerator:
     """Drop-in alternative to `generate.Generator` with draft-and-verify
     decoding. Greedy output is token-identical to `Generator.generate`;
@@ -185,6 +309,7 @@ class SpeculativeGenerator:
         draft_params=None,
         gamma: int = 4,
         ngram_max_k: int = 3,
+        fused_rounds: int = 4,
     ):
         if (draft_cfg is None) != (draft_params is None):
             raise ValueError("draft_cfg and draft_params must be given together")
@@ -199,6 +324,9 @@ class SpeculativeGenerator:
             raise ValueError("gamma must be >= 1")
         self.draft_cfg = draft_cfg
         self.draft_params = draft_params
+        # R>0 with a model draft: scan R full rounds per dispatch on-device
+        # (n-gram proposals are host-computed, so they keep the host loop)
+        self.fused_rounds = int(fused_rounds) if draft_cfg is not None else 0
 
         self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
         self._verify = jax.jit(_make_verify_fn(cfg, self.gen_cfg, self.gamma))
@@ -207,6 +335,14 @@ class SpeculativeGenerator:
                 make_prefill_fn(draft_cfg, audio_patch_id, max_cache_len)
             )
             self._draft_propose = jax.jit(_make_draft_propose_fn(draft_cfg, self.gamma))
+            if self.fused_rounds > 0:
+                self._fused = jax.jit(
+                    make_fused_rounds_fn(
+                        cfg, draft_cfg, self.gen_cfg, self.gamma,
+                        self.fused_rounds, max_cache_len - self.gamma - 2,
+                    ),
+                    donate_argnums=(2, 3),
+                )
 
     # -- drafting ----------------------------------------------------------
 
@@ -317,6 +453,48 @@ class SpeculativeGenerator:
 
         rounds_accepted = 0
         rounds_proposed = 0
+
+        if self.fused_rounds > 0 and not done.all():
+            # on-device rounds: one dispatch + one transfer per
+            # fused_rounds complete rounds (see make_fused_rounds_fn)
+            prev_tok = jnp.asarray(
+                [h[-2] if len(h) >= 2 else h[-1] for h in histories], jnp.int32
+            )
+            last_tok = jnp.asarray([h[-1] for h in histories], jnp.int32)
+            pos = jnp.asarray(
+                prompt_lengths + emitted.astype(np.int32) - 1, jnp.int32
+            )
+            while not done.all():
+                rng, sub = jax.random.split(rng)
+                (toks, n_emits, cache, draft_cache,
+                 prev_tok, last_tok, pos, _r) = self._fused(
+                    self.params, self.draft_params, cache, draft_cache,
+                    prev_tok, last_tok, pos, sub,
+                )
+                toks_np = np.asarray(jax.device_get(toks))  # [B, R, g+1]
+                n_np = np.asarray(jax.device_get(n_emits))  # [B, R]
+                for r in range(self.fused_rounds):
+                    for i in range(b):
+                        if done[i]:
+                            continue
+                        before = int(emitted[i])
+                        for j in range(int(n_np[i, r])):
+                            absorb_one(i, int(toks_np[i, r, j]))
+                            if done[i]:
+                                break
+                        rounds_accepted += max(0, int(emitted[i]) - before - 1)
+                        rounds_proposed += self.gamma
+            self.last_acceptance_rate = (
+                rounds_accepted / rounds_proposed if rounds_proposed else 0.0
+            )
+            if stop_text and tokenizer is not None:
+                from llark_tpu.generate import Generator
+
+                out = [
+                    Generator._trim_stop(ids, tokenizer, stop_text) for ids in out
+                ]
+            return out
+
         while not done.all():
             # positions: row i's last emitted token sits at prompt_len+emitted-1
             write_pos = prompt_lengths + emitted.astype(np.int32) - 1

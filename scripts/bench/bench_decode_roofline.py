@@ -52,7 +52,9 @@ def bench_config(cfg, params, batch, cache_len, gen_cfg, reps=4):
     total = cache_len + 5 * CHUNK
     prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id=31999, max_cache_len=total))
     decode_n = jax.jit(make_multistep_decode_fn(cfg, gen_cfg, CHUNK))
-    plen = cache_len - 1
+    # prompt length == cache_len keeps the prefill sequence aligned to the
+    # Pallas block sizes (cache_len-1 = 127 fails the multiple-of-8 rule)
+    plen = cache_len
     rng = np.random.RandomState(0)
     ids = rng.randint(0, 31996, size=(batch, plen)).astype(np.int32)
     lens = np.full((batch,), plen, np.int32)

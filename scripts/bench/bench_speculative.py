@@ -202,14 +202,16 @@ def main():
                       max_cache_len=1024)
     results["plain"] = bench_decode(plain, prompts, plens, args.max_new, "plain chunked")
 
-    for gamma in (4, 8):
+    for gamma, fused in ((4, 4), (8, 4), (8, 0)):
         spec = SpeculativeGenerator(
             target_cfg, tparams, audio_patch_id=VOCAB - 1,
             draft_cfg=draft_cfg, draft_params=dparams, gamma=gamma,
-            max_cache_len=1024,
+            max_cache_len=1024, fused_rounds=fused,
         )
-        results[f"draft_g{gamma}"] = bench_decode(
-            spec, prompts, plens, args.max_new, f"draft spec gamma={gamma}")
+        tag = f"draft_g{gamma}" + ("_fused" if fused else "_hostloop")
+        results[tag] = bench_decode(
+            spec, prompts, plens, args.max_new,
+            f"draft gamma={gamma} {'fused' if fused else 'host-loop'}")
 
     ng = SpeculativeGenerator(
         target_cfg, tparams, audio_patch_id=VOCAB - 1, gamma=4, max_cache_len=1024

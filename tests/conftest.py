@@ -19,3 +19,72 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+# ---------------------------------------------------------------------------
+# Fast tier: `pytest -m "not slow"` (~3 min) for the edit loop; the full
+# suite stays the pre-round gate. The list below is measured (>=10 s per
+# test on 1 CPU, pytest --durations; regenerate the same way when tests
+# move tiers). In-file @pytest.mark.slow marks compose with this.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_MEASURED_SLOW = {
+    "test_beam.py::test_beam_improves_joint_logprob",
+    "test_clap.py::test_htsat_embed_shapes",
+    "test_extract_cli.py::test_jukebox_extract_data_parallel",
+    "test_extract_cli.py::test_jukebox_extract_writes_npy",
+    "test_generate.py::test_generate_matches_naive_greedy_ragged_batch",
+    "test_infer.py::test_infer_from_encodings_cli_beam",
+    "test_infer.py::test_infer_from_encodings_cli_speculative_draft",
+    "test_infer.py::test_infer_from_webdataset_cli_continuous_batching",
+    "test_infer.py::test_infer_from_webdataset_cli_speculative",
+    "test_interop.py::test_train_imports_hf_backbone",
+    "test_jukebox.py::test_encode_stream_matches_encode_batch",
+    "test_jukebox.py::test_full_encoder_pipeline_tiny",
+    "test_jukebox.py::test_full_encoder_pooled",
+    "test_jukebox.py::test_mesh_sharded_encode_matches_single_device",
+    "test_jukebox.py::test_prior_encode_shift_semantics",
+    "test_jukebox.py::test_transfer_dtype_int16_matches_float32",
+    "test_lifecycle.py::test_full_lifecycle",
+    "test_lora.py::test_lora_training_freezes_base",
+    "test_lora.py::test_qlora_int8_base_training",
+    "test_model.py::test_chunked_loss_matches_full",
+    "test_model.py::test_loss_gradients_flow_to_projector_and_new_embeddings",
+    "test_parallel.py::test_sharded_matches_single_device",
+    "test_parallel.py::test_sharded_train_step_runs",
+    "test_quant.py::test_bits4_qlora_trains",
+    "test_review_fixes_audio.py::test_jukebox_mesh_pads_odd_batches",
+    "test_review_fixes_data.py::test_train_eval_loop",
+    "test_review_fixes_train.py::test_lora_train_then_load_then_generate",
+    "test_review_fixes_train.py::test_mpt_family_train_reload_generate",
+    "test_review_fixes_train.py::test_reloaded_checkpoint_reproduces_trained_answer",
+    "test_review_fixes_train.py::test_tune_adapter_without_freeze_trains_full_model",
+    "test_ring_attention.py::test_ring_long_audio_scale",
+    "test_ring_attention.py::test_ring_matches_full_causal",
+    "test_ring_attention.py::test_ring_non_causal",
+    "test_ring_attention.py::test_ring_with_ragged_lengths_and_alibi",
+    "test_server.py::test_server_chunked_prefill_matches_generator",
+    "test_server.py::test_server_matches_generator",
+    "test_sharded_serving.py::test_sharded_matches_single_chip",
+    "test_sharded_serving.py::test_sharded_quantized_matches_single_chip",
+    "test_speculative.py::test_model_draft_different_weights_exact",
+    "test_speculative.py::test_model_draft_survives_len1_history_row",
+    "test_speculative.py::test_ngram_speculative_matches_greedy",
+    "test_speculative.py::test_self_draft_full_acceptance",
+    "test_speculative.py::test_speculative_eos_stop",
+    "test_speculative.py::test_fused_rounds_matches_host_loop",
+    "test_train_e2e.py::test_adapter_stage_saves_projector_and_handoff",
+    "test_train_e2e.py::test_metrics_tracking_jsonl_and_tensorboard",
+    "test_train_e2e.py::test_preemption_checkpoint_and_resume",
+    "test_train_e2e.py::test_resume_from_checkpoint",
+    "test_train_e2e.py::test_train_loop_and_checkpoints",
+    "test_train_e2e.py::test_train_with_chunked_loss",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = f"{item.fspath.basename}::{item.originalname or item.name}"
+        if base in _MEASURED_SLOW:
+            item.add_marker(pytest.mark.slow)

@@ -197,3 +197,28 @@ def test_simulate_ngram_acceptance_replay():
         pos += m + 1
     rate, _ = simulate_ngram_acceptance(seq, prompt_len=5, gamma=4)
     assert rate == acc / prop
+
+
+def test_fused_rounds_matches_host_loop():
+    """The on-device R-rounds-per-dispatch scan must emit token-identical
+    output (and the same acceptance bookkeeping) as the per-round host
+    loop it replaces."""
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    draft_cfg = ModelConfig.tiny(num_layers=1, dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    dparams = init_llark_params(draft_cfg, jax.random.PRNGKey(3))
+    input_ids = np.array([[9, 4, 5, 11], [7, 3, 0, 0]], np.int32)
+    lengths = np.array([4, 2], np.int32)
+    gen_cfg = GenerationConfig(max_new_tokens=17, stop_text="", temperature=0.0)
+
+    outs, rates = [], []
+    for fused in (0, 3):
+        spec = SpeculativeGenerator(
+            cfg, params, PATCH_ID, gen_cfg, max_cache_len=64,
+            draft_cfg=draft_cfg, draft_params=dparams, gamma=3,
+            fused_rounds=fused,
+        )
+        outs.append(spec.generate(input_ids, lengths))
+        rates.append(spec.last_acceptance_rate)
+    assert outs[0] == outs[1]
+    assert abs(rates[0] - rates[1]) < 1e-9
