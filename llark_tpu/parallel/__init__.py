@@ -5,3 +5,9 @@ from llark_tpu.parallel.mesh import (  # noqa: F401
     param_partition_specs,
     param_shardings,
 )
+from llark_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_layers_fn,
+    make_pp_mesh,
+    make_pp_train_step,
+    pp_param_specs,
+)
