@@ -123,8 +123,15 @@ def main():
         for kv_quant in (True, False):
             c = ModelConfig(**{**cfg.__dict__, "kv_cache_quant": kv_quant,
                                "head_dim": None})
-            t_long = bench_config(c, params, b, args.long, gen_cfg)
-            t_short = bench_config(c, params, b, args.short, gen_cfg)
+            try:
+                t_long = bench_config(c, params, b, args.long, gen_cfg)
+                t_short = bench_config(c, params, b, args.short, gen_cfg)
+            except Exception as e:  # per-config OOM is itself a result
+                row = {"batch": b, "kv_int8": kv_quant,
+                       "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                rows.append(row)
+                print(row, flush=True)
+                continue
             kv_t = max(t_long - t_short, 0.0)
             kv_read = (2 * c.num_layers * c.num_kv_heads * c.head_dim
                        * (1 if kv_quant else 2) * args.long * b)
