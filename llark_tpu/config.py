@@ -50,6 +50,10 @@ class ModelConfig:
     # int8 KV cache: halves cache HBM bytes/step and doubles slot/context
     # capacity; per-(head, position) scales folded into the attention dots
     kv_cache_quant: bool = False
+    # Pallas flash-decode kernel for Sq=1 steps: streams only the live KV
+    # blocks from HBM (ops/decode_attention.py); falls back to XLA off-TPU
+    use_flash_decode: bool = True
+    decode_block_k: int = 512
     remat: bool = True
     # from-scratch init scheme: kaiming | xavier | small
     # (reference: m2t/llava/model/mpt/param_init_fns.py MODEL_INIT_REGISTRY)

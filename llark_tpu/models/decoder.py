@@ -326,6 +326,23 @@ def _layer_forward(
                 block_q=cfg.attention_block_q,
                 block_k=cfg.attention_block_k,
             )
+        elif cache_positions is not None and s <= 16 and cfg.use_flash_decode:
+            # short-query decode (single-token steps and speculative
+            # verify windows): Pallas flash-decode streams only the live
+            # cache blocks (ops/decode_attention.py); XLA elsewhere
+            from llark_tpu.ops.decode_attention import decode_attention
+
+            attn = decode_attention(
+                q,
+                new_k_cache,
+                new_v_cache,
+                kv_lengths=cache_kv_lengths,
+                q_positions=cache_positions,
+                k_scale=new_ks,
+                v_scale=new_vs,
+                slopes=slopes,
+                block_k=cfg.decode_block_k,
+            )
         else:
             attn = xla_attention(
                 q,

@@ -672,7 +672,13 @@ def multihead_attention(
         sq, sk = q.shape[2], k.shape[2]
         bq = min(block_q, sq)
         bk = min(block_k, sk)
-        if sq % bq == 0 and sk % bk == 0 and q.shape[3] % 128 == 0:
+        # Mosaic must statically prove 8-alignment of in-kernel dynamic
+        # slices: odd block sizes (e.g. an unpadded 33-token prompt) fail
+        # to COMPILE on real TPU, so they take the XLA path instead
+        if (
+            sq % bq == 0 and sk % bk == 0 and q.shape[3] % 128 == 0
+            and bq % 8 == 0 and bk % 8 == 0
+        ):
             return _flash_mha(q, k, v, causal, bq, bk, interpret, kv_lengths, slopes)
     return xla_attention(
         q, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes,

@@ -1,0 +1,307 @@
+"""Fused flash-decode attention: streaming KV-cache reads for Sq=1 steps.
+
+Serving roofline (PERFORMANCE.md "Serving roofline breakdown"): decode
+attention over the padded KV cache through plain XLA reads HBM at only
+~117-164 GB/s while the weight GEMMs stream at ~675 GB/s — and it always
+reads the FULL padded cache. This kernel closes both gaps:
+
+  * the cache stays blocked in HBM; the grid's trailing dimension walks
+    S-blocks so Mosaic double-buffers contiguous [block_k, D] fetches
+    (int8 cache is read as int8 — dequant scales fold into the dots,
+    matching the XLA path's semantics in ops/attention.py xla_attention)
+  * per-row kv_lengths are scalar-prefetched; the BlockSpec index_map
+    clamps past-the-end block indices to the last needed block, so
+    revisited blocks are NOT refetched — bytes read scale with the live
+    context, not the padded max_seq_len
+  * online-softmax (m, l, acc) scratch persists across the sequential
+    grid; output is written once on each (b, h)'s final live block
+  * GQA: one grid cell covers a kv head's whole q-head group, so the
+    cache block is fetched once per group (reference kernel role:
+    m2t/llava/model/mpt/attention.py flash_attn_fn decode usage)
+
+The q=1 dots are MXU-tiny (M=group), which is irrelevant here: decode
+attention is purely HBM-bandwidth-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llark_tpu.ops.attention import DEFAULT_MASK_VALUE, xla_attention
+
+
+def _decode_kernel(
+    # scalar prefetch
+    kvlen_ref,  # SMEM [B] int32: live cache length per row (mask bound)
+    qpos_ref,  # SMEM [B] int32: absolute position of the FIRST query token
+    slope_ref,  # SMEM [H] f32: per-head alibi slopes (0 = disabled)
+    # inputs
+    q_ref,  # VMEM [1, group, sq, D]
+    k_ref,  # VMEM [1, 1, block_k, D] (int8 or compute dtype)
+    v_ref,  # VMEM [1, 1, block_k, D]
+    *rest,  # optional k_scale/v_scale [1, 1, 1, block_k]; o_ref; 3 scratch
+    block_k: int,
+    num_k_blocks: int,
+    group: int,
+    sq: int,
+    scale: float,
+    quant: bool,
+    sk: int,
+):
+    if quant:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+    rows = group * sq
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    kb = pl.program_id(2)
+    kv_len = kvlen_ref[bi]
+    q_pos = qpos_ref[bi]
+    last_block = jnp.maximum(pl.cdiv(kv_len, block_k), 1) - 1
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb <= last_block)
+    def _():
+        q = q_ref[0].reshape(rows, q_ref.shape[-1]).astype(jnp.float32) * scale
+        kblk = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [rows, block_k]
+        if quant:
+            s = s * ks_ref[0, 0, 0][None, :]
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, block_k), 1
+        )
+        # absolute position of each query row: q_pos + local index (rows are
+        # head-major: row = g*sq + j)
+        q_pos_row = q_pos + jax.lax.broadcasted_iota(
+            jnp.int32, (group, sq, 1), 1
+        ).reshape(rows, 1)
+        # alibi: slope * (k_pos - q_pos_row); slopes are 0 for non-alibi
+        if group == 1:
+            slope = slope_ref[hi].reshape(1, 1)
+        else:
+            slope = jnp.stack(
+                [slope_ref[hi * group + r] for r in range(group)]
+            ).reshape(group, 1)
+        slope = jnp.broadcast_to(slope[:, None, :], (group, sq, 1)).reshape(rows, 1)
+        s = s + slope * (k_pos - q_pos_row).astype(jnp.float32)
+        # causality: keys after a row's own position are invisible; the
+        # per-batch-row live length bounds everything (at sq=1 the length
+        # bound alone implies causality)
+        mask = k_pos < kv_len
+        if sq > 1:
+            mask = mask & (k_pos <= q_pos_row)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[:, :1]  # [rows, 1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [rows, block_k]
+        if quant:
+            # fold V's dequant scale in BEFORE masking: a garbage scale in
+            # the (non-divisible) tail block must not turn 0 into NaN
+            pv = p * vs_ref[0, 0, 0][None, :]
+        else:
+            pv = p
+        p = jnp.where(mask, p, 0.0)
+        pv = jnp.where(mask, pv, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+        vblk = v_ref[0, 0]
+        if sk % block_k:
+            # tail block rows beyond sk hold unspecified pad values; zero
+            # them so 0-prob x non-finite cannot poison the accumulator
+            vrow = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0
+            )
+            vblk = jnp.where(vrow < sk, vblk.astype(jnp.float32), 0.0)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pv.astype(jnp.float32),
+            vblk.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(kb == jnp.minimum(last_block, num_k_blocks - 1))
+    def _():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        d = o_ref.shape[-1]
+        o_ref[0] = (acc_ref[:] / l_safe).reshape(group, sq, d).astype(o_ref.dtype)
+
+
+def flash_decode_attention(
+    q: jnp.ndarray,  # [B, H, 1, D]
+    k_cache: jnp.ndarray,  # [B, Hkv, S, D] int8 or compute dtype
+    v_cache: jnp.ndarray,
+    *,
+    kv_lengths: jnp.ndarray,  # [B] int32 live length (newest token included)
+    q_positions: Optional[jnp.ndarray] = None,  # [B] abs query positions
+    k_scale: Optional[jnp.ndarray] = None,  # [B, Hkv, S] f32 (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None,
+    slopes: Optional[jnp.ndarray] = None,  # [H] alibi slope magnitudes
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Short-query decode attention against a (possibly int8) KV cache.
+
+    Equivalent to `xla_attention(q, cache, ..., q_offset=q_positions)` for
+    small Sq (single-token decode: Sq=1; speculative verify: Sq=gamma+1)
+    but reads only ceil(kv_len / block_k) cache blocks per row, as
+    contiguous pipelined DMAs. `q_positions` is the absolute position of
+    each row's FIRST query; queries within a row sit at consecutive
+    positions. Returns [B, H, Sq, D] in q.dtype.
+    """
+    b, h, sq, d = q.shape
+    _, hkv, sk, _ = k_cache.shape
+    group = h // hkv
+    block_k = min(block_k, sk)
+    quant = k_scale is not None
+
+    kvlen_arr = kv_lengths.astype(jnp.int32).reshape(b)
+    if q_positions is None:
+        q_positions = kvlen_arr - 1
+    qpos_arr = jnp.broadcast_to(
+        jnp.asarray(q_positions, jnp.int32).reshape(-1), (b,)
+    )
+    if slopes is None:
+        slopes_arr = jnp.zeros((h,), dtype=jnp.float32)
+    else:
+        slopes_arr = jnp.abs(slopes).astype(jnp.float32).reshape(h)
+
+    num_k_blocks = pl.cdiv(sk, block_k)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        block_k=block_k,
+        num_k_blocks=num_k_blocks,
+        group=group,
+        sq=sq,
+        scale=1.0 / math.sqrt(d),
+        quant=quant,
+        sk=sk,
+    )
+
+    # Past-the-end grid cells clamp to the row's last live block: a revisit
+    # of the previous cell's index skips the DMA entirely, so HBM traffic
+    # scales with kv_len, not the padded cache.
+    def kv_index(bi, hi, kb, kvlen, qpos, slope):
+        last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+        return (bi, hi, jnp.minimum(kb, last), 0)
+
+    def sc_index(bi, hi, kb, kvlen, qpos, slope):
+        last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+        return (bi, hi, 0, jnp.minimum(kb, last))
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, group, sq, d),
+            lambda bi, hi, kb, *_: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, 1, block_k, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, d), kv_index, memory_space=pltpu.VMEM),
+    ]
+    args = [q, k_cache, v_cache]
+    if quant:
+        # scales ride as [B, Hkv, 1, S]: the blocked trailing dims are then
+        # (1, block_k) — legal under Mosaic's last-two-dims rule AND already
+        # lane-aligned for the [rows, block_k] logits multiply
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_k), sc_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_k), sc_index, memory_space=pltpu.VMEM),
+        ]
+        args += [
+            k_scale.astype(jnp.float32)[:, :, None, :],
+            v_scale.astype(jnp.float32)[:, :, None, :],
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv, num_k_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, group, sq, d),
+            lambda bi, hi, kb, *_: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group * sq, d), jnp.float32),
+            pltpu.VMEM((group * sq, 128), jnp.float32),
+            pltpu.VMEM((group * sq, 128), jnp.float32),
+        ],
+    )
+    kv_bytes = k_cache.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sk * d,
+            bytes_accessed=2 * b * hkv * sk * d * kv_bytes,
+            transcendentals=b * h * sk,
+        ),
+        interpret=interpret,
+    )(kvlen_arr, qpos_arr, slopes_arr, *args)
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    *,
+    kv_lengths: jnp.ndarray,
+    q_positions: Optional[jnp.ndarray] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    slopes: Optional[jnp.ndarray] = None,
+    use_pallas: bool = True,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dispatching decode-attention entry point: the Pallas flash-decode
+    kernel on TPU (small Sq, 128-aligned head_dim), XLA elsewhere."""
+    b, h, sq, d = q.shape
+    sk = k_cache.shape[2]
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and (on_tpu or interpret) and sq <= 32 and d % 128 == 0:
+        return flash_decode_attention(
+            q,
+            k_cache,
+            v_cache,
+            kv_lengths=kv_lengths,
+            q_positions=q_positions,
+            k_scale=k_scale,
+            v_scale=v_scale,
+            slopes=slopes,
+            block_k=block_k,
+            interpret=interpret,
+        )
+    return xla_attention(
+        q,
+        k_cache,
+        v_cache,
+        causal=True,
+        kv_lengths=kv_lengths,
+        slopes=slopes,
+        q_offset=0 if q_positions is None else q_positions,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )

@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--long", type=int, default=1024)
     ap.add_argument("--short", type=int, default=128)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--flash", type=int, default=1,
+                    help="use the Pallas flash-decode kernel (0 = XLA path)")
+    ap.add_argument("--kv", choices=["both", "int8", "bf16"], default="both")
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -119,10 +122,12 @@ def main():
     results = {"dispatch_ms": round(disp * 1e3, 2),
                "weight_bytes_gb": round(wbytes / 1e9, 2)}
     rows = []
+    kv_opts = {"both": (True, False), "int8": (True,), "bf16": (False,)}[args.kv]
     for b in args.batches:
-        for kv_quant in (True, False):
+        for kv_quant in kv_opts:
             c = ModelConfig(**{**cfg.__dict__, "kv_cache_quant": kv_quant,
-                               "head_dim": None})
+                               "head_dim": None,
+                               "use_flash_decode": bool(args.flash)})
             try:
                 t_long = bench_config(c, params, b, args.long, gen_cfg)
                 t_short = bench_config(c, params, b, args.short, gen_cfg)

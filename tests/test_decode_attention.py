@@ -1,0 +1,190 @@
+"""Parity tests for the Pallas flash-decode kernel (interpret mode on CPU).
+
+Reference semantics: ops/attention.py xla_attention at Sq=1 over a padded
+KV cache with ragged per-row lengths, int8 dequant scales folded into the
+dots, and optional ALiBi bias from absolute query positions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llark_tpu.ops.attention import alibi_slopes, xla_attention
+from llark_tpu.ops.decode_attention import flash_decode_attention
+
+
+def _mk(b, h, hkv, s, d, key, dtype=jnp.bfloat16):
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (b, h, 1, d), dtype)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), dtype)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), dtype)
+    return q, k, v
+
+
+def _quant(x):
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    sc = amax / 127.0
+    q = jnp.round(xf / jnp.maximum(sc, 1e-8)[..., None]).astype(jnp.int8)
+    return q, sc
+
+
+def _ref(q, k, v, kv_lengths, q_positions, slopes=None, k_scale=None, v_scale=None):
+    return xla_attention(
+        q, k, v, causal=True, kv_lengths=kv_lengths, slopes=slopes,
+        q_offset=q_positions, k_scale=k_scale, v_scale=v_scale,
+    )
+
+
+def _assert_close(got, want, tol=2e-2):
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    denom = max(np.abs(w).max(), 1e-6)
+    assert np.abs(g - w).max() / denom < tol, (
+        f"max rel-to-max err {np.abs(g - w).max() / denom:.4g}"
+    )
+
+
+@pytest.mark.parametrize("hkv", [4, 2, 1])  # MHA, GQA, MQA
+def test_flash_decode_matches_xla_bf16(hkv):
+    b, h, s, d = 3, 4, 256, 128
+    q, k, v = _mk(b, h, hkv, s, d, jax.random.PRNGKey(0))
+    kv_lengths = jnp.array([256, 130, 1], jnp.int32)
+    q_positions = kv_lengths - 1
+    got = flash_decode_attention(
+        q, k, v, kv_lengths=kv_lengths, q_positions=q_positions,
+        block_k=128, interpret=True,
+    )
+    want = _ref(q, k, v, kv_lengths, q_positions)
+    _assert_close(got, want)
+
+
+def test_flash_decode_int8_scales():
+    b, h, s, d = 2, 4, 256, 128
+    q, k, v = _mk(b, h, 4, s, d, jax.random.PRNGKey(1))
+    k8, ksc = _quant(k)
+    v8, vsc = _quant(v)
+    kv_lengths = jnp.array([200, 64], jnp.int32)
+    q_positions = kv_lengths - 1
+    got = flash_decode_attention(
+        q, k8, v8, kv_lengths=kv_lengths, q_positions=q_positions,
+        k_scale=ksc, v_scale=vsc, block_k=128, interpret=True,
+    )
+    want = _ref(q, k8, v8, kv_lengths, q_positions, k_scale=ksc, v_scale=vsc)
+    _assert_close(got, want)
+
+
+def test_flash_decode_alibi():
+    b, h, s, d = 2, 8, 256, 128
+    q, k, v = _mk(b, h, 8, s, d, jax.random.PRNGKey(2))
+    slopes = alibi_slopes(h)
+    kv_lengths = jnp.array([256, 37], jnp.int32)
+    q_positions = kv_lengths - 1
+    got = flash_decode_attention(
+        q, k, v, kv_lengths=kv_lengths, q_positions=q_positions,
+        slopes=slopes, block_k=128, interpret=True,
+    )
+    want = _ref(q, k, v, kv_lengths, q_positions, slopes=slopes)
+    _assert_close(got, want)
+
+
+def test_flash_decode_alibi_gqa_int8():
+    # all features at once: GQA group 2 + alibi + int8 cache + ragged rows
+    b, h, hkv, s, d = 2, 8, 4, 384, 128
+    q, k, v = _mk(b, h, hkv, s, d, jax.random.PRNGKey(3))
+    k8, ksc = _quant(k)
+    v8, vsc = _quant(v)
+    slopes = alibi_slopes(h)
+    kv_lengths = jnp.array([311, 128], jnp.int32)
+    q_positions = kv_lengths - 1
+    got = flash_decode_attention(
+        q, k8, v8, kv_lengths=kv_lengths, q_positions=q_positions,
+        k_scale=ksc, v_scale=vsc, slopes=slopes, block_k=128, interpret=True,
+    )
+    want = _ref(q, k8, v8, kv_lengths, q_positions, slopes=slopes,
+                k_scale=ksc, v_scale=vsc)
+    _assert_close(got, want)
+
+
+def test_flash_decode_len_below_one_block():
+    b, h, s, d = 2, 2, 512, 128
+    q, k, v = _mk(b, h, 2, s, d, jax.random.PRNGKey(4))
+    kv_lengths = jnp.array([3, 17], jnp.int32)
+    got = flash_decode_attention(
+        q, k, v, kv_lengths=kv_lengths, block_k=256, interpret=True,
+    )
+    want = _ref(q, k, v, kv_lengths, kv_lengths - 1)
+    _assert_close(got, want)
+
+
+def test_flash_decode_clamped_qpos():
+    # kv_lengths clamped below the query's absolute position (external
+    # kv_lengths cap in _layer_forward): alibi still uses the abs position
+    b, h, s, d = 1, 4, 256, 128
+    q, k, v = _mk(b, h, 4, s, d, jax.random.PRNGKey(5))
+    slopes = alibi_slopes(h)
+    kv_lengths = jnp.array([100], jnp.int32)
+    q_positions = jnp.array([140], jnp.int32)
+    got = flash_decode_attention(
+        q, k, v, kv_lengths=kv_lengths, q_positions=q_positions,
+        slopes=slopes, block_k=128, interpret=True,
+    )
+    want = _ref(q, k, v, kv_lengths, q_positions, slopes=slopes)
+    _assert_close(got, want)
+
+
+def test_flash_decode_non_divisible_cache():
+    # serving caches are rarely block-aligned (e.g. prompt+headroom=1104);
+    # the tail block is masked, not silently fallen back to XLA
+    b, h, s, d = 2, 4, 368, 128  # 368 = 2*128 + 112 tail
+    q, k, v = _mk(b, h, 4, s, d, jax.random.PRNGKey(6))
+    k8, ksc = _quant(k)
+    v8, vsc = _quant(v)
+    kv_lengths = jnp.array([368, 300], jnp.int32)
+    got = flash_decode_attention(
+        q, k8, v8, kv_lengths=kv_lengths, q_positions=kv_lengths - 1,
+        k_scale=ksc, v_scale=vsc, block_k=128, interpret=True,
+    )
+    want = _ref(q, k8, v8, kv_lengths, kv_lengths - 1, k_scale=ksc, v_scale=vsc)
+    _assert_close(got, want)
+
+
+def test_flash_decode_multi_query_verify_shape():
+    # speculative verify: gamma+1 queries per row attend the cache with
+    # in-window causality (row j sees keys <= q_pos + j)
+    b, h, hkv, s, d, sq = 2, 4, 2, 384, 128, 5
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.bfloat16)
+    k8, ksc = _quant(k)
+    v8, vsc = _quant(v)
+    slopes = alibi_slopes(h)
+    first_qpos = jnp.array([200, 37], jnp.int32)
+    kv_lengths = first_qpos + sq  # all sq tokens already written
+    got = flash_decode_attention(
+        q, k8, v8, kv_lengths=kv_lengths, q_positions=first_qpos,
+        k_scale=ksc, v_scale=vsc, slopes=slopes, block_k=128, interpret=True,
+    )
+    want = _ref(q, k8, v8, kv_lengths, first_qpos, slopes=slopes,
+                k_scale=ksc, v_scale=vsc)
+    _assert_close(got, want)
+
+
+def test_flash_decode_multi_query_bf16():
+    b, h, s, d, sq = 1, 2, 256, 128, 9  # gamma=8 verify window
+    key = jax.random.PRNGKey(8)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.bfloat16)
+    first_qpos = jnp.array([100], jnp.int32)
+    kv_lengths = first_qpos + sq
+    got = flash_decode_attention(
+        q, k, v, kv_lengths=kv_lengths, q_positions=first_qpos,
+        block_k=128, interpret=True,
+    )
+    want = _ref(q, k, v, kv_lengths, first_qpos)
+    _assert_close(got, want)
