@@ -54,6 +54,11 @@ class ModelConfig:
     # blocks from HBM (ops/decode_attention.py); falls back to XLA off-TPU
     use_flash_decode: bool = True
     decode_block_k: int = 512
+    # Unroll the layer loop for short (<=16-token) cached steps so the KV
+    # cache updates apply in place instead of riding the scan's xs->ys
+    # double buffer. None = auto: unroll at batch >= 2 where the KV term
+    # dominates; scan for single-stream (measured on chip; PERFORMANCE.md)
+    decode_unroll_layers: Optional[bool] = None
     remat: bool = True
     # from-scratch init scheme: kaiming | xavier | small
     # (reference: m2t/llava/model/mpt/param_init_fns.py MODEL_INIT_REGISTRY)

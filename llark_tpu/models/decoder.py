@@ -466,6 +466,44 @@ def decoder_forward(
     if cfg.remat:
         body = jax.checkpoint(body, prevent_cse=False)
 
+    unroll = cfg.decode_unroll_layers
+    if unroll is None:  # auto: unroll where the KV term dominates (B >= 2);
+        unroll = b >= 2  # single-stream decode measured faster on the scan
+    if kv_cache is not None and unroll and s <= 16:
+        # Unrolled decode: the layer scan threads the FULL cache through
+        # xs->ys, which XLA may double-buffer (a whole-cache copy per
+        # layer per token). Unrolling keeps the stacked cache in one
+        # buffer updated by chained .at[l].set writes that XLA can apply
+        # in place inside the token loop.
+        Lk, Lv = kv_cache["k"], kv_cache["v"]
+        Lks = kv_cache.get("k_scale")
+        Lvs = kv_cache.get("v_scale")
+        for l in range(cfg.num_layers):
+            lp = jax.tree.map(lambda a: a[l], params["layers"])
+            rng_l = layer_rngs[l] if layer_rngs is not None else None
+            x, nk, nv, nks, nvs = _layer_forward(
+                cfg, lp, x, positions, seq_lengths, slopes, Lk[l], Lv[l],
+                cache_index, cache_positions, rng_l,
+                prefill_from_empty=prefill_from_empty,
+                k_scale_cache=None if Lks is None else Lks[l],
+                v_scale_cache=None if Lvs is None else Lvs[l],
+            )
+            Lk = Lk.at[l].set(nk)
+            Lv = Lv.at[l].set(nv)
+            if quant_cache:
+                Lks = Lks.at[l].set(nks)
+                Lvs = Lvs.at[l].set(nvs)
+        new_cache = {"k": Lk, "v": Lv, "index": kv_cache["index"] + s}
+        if quant_cache:
+            new_cache["k_scale"] = Lks
+            new_cache["v_scale"] = Lvs
+        x = _norm(
+            cfg, x, params["final_norm_scale"], params.get("final_norm_bias")
+        )
+        if return_hidden:
+            return x, new_cache
+        return compute_logits(cfg, params, x, trainable_token_start), new_cache
+
     if kv_cache is not None:
         xs = (params["layers"], kv_cache["k"], kv_cache["v"])
         if quant_cache:

@@ -42,14 +42,14 @@ def sync(x):
     return jax.device_get(jnp.sum(x).astype(jnp.float32))
 
 
-def bench_config(cfg, params, batch, cache_len, gen_cfg, reps=4):
+def bench_config(cfg, params, batch, cache_len, gen_cfg, reps=4, pad_to=0):
     """Per-token decode seconds at (batch, context length ~cache_len).
 
     Timing loops chain data dependencies (token + cache feed back) so the
     tunnel cannot dedupe identical executions; positions cycle within a
     4-chunk window past the prompt so the attended context stays ~cache_len
     across windows without outgrowing the cache."""
-    total = cache_len + 5 * CHUNK
+    total = max(cache_len + 5 * CHUNK, pad_to)
     prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id=31999, max_cache_len=total))
     decode_n = jax.jit(make_multistep_decode_fn(cfg, gen_cfg, CHUNK))
     # prompt length == cache_len keeps the prefill sequence aligned to the
@@ -89,7 +89,13 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--flash", type=int, default=1,
                     help="use the Pallas flash-decode kernel (0 = XLA path)")
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="unroll the decode layer loop (in-place cache updates)")
     ap.add_argument("--kv", choices=["both", "int8", "bf16"], default="both")
+    ap.add_argument("--pad-to", type=int, default=0,
+                    help="pad the KV cache to at least this many positions "
+                         "(serving-realistic: cache sized for max_seq_len, "
+                         "live context shorter)")
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -127,10 +133,13 @@ def main():
         for kv_quant in kv_opts:
             c = ModelConfig(**{**cfg.__dict__, "kv_cache_quant": kv_quant,
                                "head_dim": None,
-                               "use_flash_decode": bool(args.flash)})
+                               "use_flash_decode": bool(args.flash),
+                               "decode_unroll_layers": bool(args.unroll)})
             try:
-                t_long = bench_config(c, params, b, args.long, gen_cfg)
-                t_short = bench_config(c, params, b, args.short, gen_cfg)
+                t_long = bench_config(c, params, b, args.long, gen_cfg,
+                                      pad_to=args.pad_to)
+                t_short = bench_config(c, params, b, args.short, gen_cfg,
+                                       pad_to=args.pad_to)
             except Exception as e:  # per-config OOM is itself a result
                 row = {"batch": b, "kv_int8": kv_quant,
                        "error": f"{type(e).__name__}: {str(e)[:200]}"}

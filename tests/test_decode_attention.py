@@ -188,3 +188,33 @@ def test_flash_decode_multi_query_bf16():
     )
     want = _ref(q, k, v, kv_lengths, first_qpos)
     _assert_close(got, want)
+
+
+def test_unrolled_decode_matches_scan_decode():
+    # decode_unroll_layers trades the layer scan's xs->ys cache threading
+    # for in-place .at[l].set updates; token streams must be identical
+    from llark_tpu.config import ModelConfig
+    from llark_tpu.generate import GenerationConfig, Generator
+    from llark_tpu.models.fusion import init_llark_params
+
+    base = dict(arch="llama", vocab_size=128, hidden_size=64,
+                intermediate_size=128, num_layers=3, num_heads=2,
+                num_kv_heads=2, head_dim=32, max_seq_len=256,
+                mm_hidden_size=8, dtype="float32", param_dtype="float32",
+                remat=False)
+    gen = GenerationConfig(max_new_tokens=10, temperature=0.0,
+                           stop_text="", eos_token_id=None)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, 120, size=(2, 21)).astype(np.int32)
+    lens = np.array([21, 9], np.int32)
+    for quant in (False, True):
+        outs = {}
+        for unroll in (False, True):
+            cfg = ModelConfig(**base, kv_cache_quant=quant,
+                              decode_unroll_layers=unroll)
+            params = init_llark_params(cfg, jax.random.PRNGKey(0))
+            g = Generator(cfg, params, audio_patch_id=3, gen_cfg=gen,
+                          max_cache_len=64)
+            toks = g.generate(jnp.asarray(ids), jnp.asarray(lens))
+            outs[unroll] = [list(t) for t in toks]
+        assert outs[True] == outs[False]
