@@ -21,6 +21,11 @@ import jax
 import jax.numpy as jnp
 
 
+def _env_flash() -> bool:
+    import os
+    return os.environ.get("LLARK_TPU_BENCH_FLASH", "1") != "0"
+
+
 def build(cfg_name: str):
     from llark_tpu.config import ModelConfig
     from llark_tpu.generate import make_decode_fn, make_prefill_fn
@@ -38,6 +43,7 @@ def build(cfg_name: str):
             dtype="bfloat16",
             remat=False,
             kv_cache_quant=True,  # int8 KV: fewer cache bytes per step
+            use_flash_decode=_env_flash(),
         )
         baseline = 60.0
     else:
@@ -52,6 +58,7 @@ def build(cfg_name: str):
             dtype="bfloat16",
             remat=False,
             kv_cache_quant=True,
+            use_flash_decode=_env_flash(),
         )
         baseline = 420.0
     return cfg, baseline

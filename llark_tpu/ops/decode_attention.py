@@ -1,26 +1,36 @@
-"""Fused flash-decode attention: streaming KV-cache reads for Sq=1 steps.
+"""Fused flash-decode attention: streaming KV-cache reads for short-query steps.
 
-Serving roofline (PERFORMANCE.md "Serving roofline breakdown"): decode
-attention over the padded KV cache through plain XLA reads HBM at only
-~117-164 GB/s while the weight GEMMs stream at ~675 GB/s — and it always
-reads the FULL padded cache. This kernel closes both gaps:
+Decode attention through plain XLA always reads the FULL padded cache
+(the mask is applied after the dots), so serving with a max_seq_len-
+sized cache pays for dead positions on every step. This kernel reads
+only the LIVE context:
 
   * the cache stays blocked in HBM; the grid's trailing dimension walks
-    S-blocks so Mosaic double-buffers contiguous [block_k, D] fetches
-    (int8 cache is read as int8 — dequant scales fold into the dots,
-    matching the XLA path's semantics in ops/attention.py xla_attention)
+    S-blocks so Mosaic double-buffers contiguous fetches (int8 cache is
+    read as int8 — dequant scales fold into the dots, matching
+    ops/attention.py xla_attention semantics)
   * per-row kv_lengths are scalar-prefetched; the BlockSpec index_map
     clamps past-the-end block indices to the last needed block, so
     revisited blocks are NOT refetched — bytes read scale with the live
     context, not the padded max_seq_len
   * online-softmax (m, l, acc) scratch persists across the sequential
-    grid; output is written once on each (b, h)'s final live block
-  * GQA: one grid cell covers a kv head's whole q-head group, so the
-    cache block is fetched once per group (reference kernel role:
-    m2t/llava/model/mpt/attention.py flash_attn_fn decode usage)
+    grid; output is written once on each output block's final live block
+  * GQA: a kv head's whole q-head group shares one cache fetch
+  * multi-query windows (speculative verify, Sq<=16) apply in-window
+    causal masking from per-row first-query positions
 
-The q=1 dots are MXU-tiny (M=group), which is irrelevant here: decode
-attention is purely HBM-bandwidth-bound.
+Measured constraint (PERFORMANCE.md round-2 roofline): Pallas grid-cell
+overhead is ~0.7-1 us on this stack, so cell count dominates at decode
+shapes. The default ALL-HEADS layout therefore puts every kv head in one
+cell — grid (B, S-blocks), in-kernel unrolled loop over heads — cutting
+cells by Hkv x vs the per-head layout (kept as all_heads=False for
+block-size flexibility). XLA's dense padded read streams at ~490 GB/s;
+this kernel wins when live context is well below the padded cache
+length (the common serving regime), loses near cache-full.
+
+Reference kernel role: m2t/llava/model/mpt/attention.py flash_attn_fn
+at decode time (the reference has no decode-specialized kernel at all —
+its flash-attn path is prefill-only and decode falls back to dense).
 """
 
 from __future__ import annotations
@@ -147,6 +157,118 @@ def _decode_kernel(
         o_ref[0] = (acc_ref[:] / l_safe).reshape(group, sq, d).astype(o_ref.dtype)
 
 
+def _decode_kernel_all_heads(
+    # scalar prefetch
+    kvlen_ref,  # SMEM [B] int32
+    qpos_ref,  # SMEM [B] int32: first-query absolute positions
+    slope_ref,  # SMEM [H] f32
+    # inputs
+    q_ref,  # VMEM [1, H, sq, D]
+    k_ref,  # VMEM [1, Hkv, block_k, D] (int8 or compute dtype)
+    v_ref,  # VMEM [1, Hkv, block_k, D]
+    *rest,  # optional k_scale/v_scale [1, Hkv, 1, block_k]; o_ref; 3 scratch
+    block_k: int,
+    num_k_blocks: int,
+    hkv: int,
+    group: int,
+    sq: int,
+    scale: float,
+    quant: bool,
+    sk: int,
+):
+    """All-heads-per-cell layout: grid (B, S-blocks); the in-kernel loop
+    over kv heads is a static unroll. Cuts grid cells by Hkv x — the
+    per-cell overhead (~0.7 us) otherwise dominates decode shapes."""
+    if quant:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+    rows_h = group * sq
+    d = q_ref.shape[-1]
+    bi = pl.program_id(0)
+    kb = pl.program_id(1)
+    kv_len = kvlen_ref[bi]
+    q_pos = qpos_ref[bi]
+    last_block = jnp.maximum(pl.cdiv(kv_len, block_k), 1) - 1
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb <= last_block)
+    def _():
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_h, block_k), 1
+        )
+        q_pos_row = q_pos + jax.lax.broadcasted_iota(
+            jnp.int32, (group, sq, 1), 1
+        ).reshape(rows_h, 1)
+        mask = k_pos < kv_len
+        if sq > 1:
+            mask = mask & (k_pos <= q_pos_row)
+        if sk % block_k:
+            vrow_valid = (
+                kb * block_k
+                + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+            ) < sk
+        for h in range(hkv):
+            sl = slice(h * rows_h, (h + 1) * rows_h)
+            q = q_ref[0, h * group:(h + 1) * group].reshape(
+                rows_h, d
+            ).astype(jnp.float32) * scale
+            kblk = k_ref[0, h].astype(jnp.float32)  # [block_k, D]
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if quant:
+                s = s * ks_ref[0, h, 0][None, :]
+            if group == 1:
+                slope = slope_ref[h].reshape(1, 1)
+            else:
+                slope = jnp.stack(
+                    [slope_ref[h * group + r] for r in range(group)]
+                ).reshape(group, 1)
+            slope = jnp.broadcast_to(
+                slope[:, None, :], (group, sq, 1)
+            ).reshape(rows_h, 1)
+            s = s + slope * (k_pos - q_pos_row).astype(jnp.float32)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_ref[sl, :1]
+            l_prev = l_ref[sl, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            pv = p * vs_ref[0, h, 0][None, :] if quant else p
+            p = jnp.where(mask, p, 0.0)
+            pv = jnp.where(mask, pv, 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[sl] = jnp.broadcast_to(
+                alpha * l_prev + jnp.sum(p, axis=1, keepdims=True),
+                (rows_h, l_ref.shape[1]),
+            )
+            vblk = v_ref[0, h]
+            if sk % block_k:
+                vblk = jnp.where(vrow_valid, vblk.astype(jnp.float32), 0.0)
+            acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
+                pv.astype(jnp.float32),
+                vblk.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[sl] = jnp.broadcast_to(m_new, (rows_h, m_ref.shape[1]))
+
+    @pl.when(kb == jnp.minimum(last_block, num_k_blocks - 1))
+    def _():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l_safe).reshape(
+            hkv * group, sq, d
+        ).astype(o_ref.dtype)
+
+
 def flash_decode_attention(
     q: jnp.ndarray,  # [B, H, 1, D]
     k_cache: jnp.ndarray,  # [B, Hkv, S, D] int8 or compute dtype
@@ -158,6 +280,7 @@ def flash_decode_attention(
     v_scale: Optional[jnp.ndarray] = None,
     slopes: Optional[jnp.ndarray] = None,  # [H] alibi slope magnitudes
     block_k: int = 512,
+    all_heads: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Short-query decode attention against a (possibly int8) KV cache.
@@ -186,48 +309,101 @@ def flash_decode_attention(
     else:
         slopes_arr = jnp.abs(slopes).astype(jnp.float32).reshape(h)
 
+    if all_heads:
+        # keep the double-buffered k+v blocks (+ scales) within ~8 MB VMEM
+        itemsize = k_cache.dtype.itemsize
+        while hkv * block_k * d * itemsize * 2 * 2 > 8 * 1024 * 1024 and block_k > 128:
+            block_k //= 2
     num_k_blocks = pl.cdiv(sk, block_k)
-
-    kernel = functools.partial(
-        _decode_kernel,
-        block_k=block_k,
-        num_k_blocks=num_k_blocks,
-        group=group,
-        sq=sq,
-        scale=1.0 / math.sqrt(d),
-        quant=quant,
-        sk=sk,
-    )
 
     # Past-the-end grid cells clamp to the row's last live block: a revisit
     # of the previous cell's index skips the DMA entirely, so HBM traffic
     # scales with kv_len, not the padded cache.
-    def kv_index(bi, hi, kb, kvlen, qpos, slope):
-        last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
-        return (bi, hi, jnp.minimum(kb, last), 0)
+    if all_heads:
+        kernel = functools.partial(
+            _decode_kernel_all_heads,
+            block_k=block_k,
+            num_k_blocks=num_k_blocks,
+            hkv=hkv,
+            group=group,
+            sq=sq,
+            scale=1.0 / math.sqrt(d),
+            quant=quant,
+            sk=sk,
+        )
 
-    def sc_index(bi, hi, kb, kvlen, qpos, slope):
-        last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
-        return (bi, hi, 0, jnp.minimum(kb, last))
+        def kv_index(bi, kb, kvlen, qpos, slope):
+            last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+            return (bi, 0, jnp.minimum(kb, last), 0)
 
-    in_specs = [
-        pl.BlockSpec(
+        def sc_index(bi, kb, kvlen, qpos, slope):
+            last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+            return (bi, 0, 0, jnp.minimum(kb, last))
+
+        grid = (b, num_k_blocks)
+        q_spec = pl.BlockSpec(
+            (1, h, sq, d),
+            lambda bi, kb, *_: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kv_spec = pl.BlockSpec(
+            (1, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM
+        )
+        scale_spec = pl.BlockSpec(
+            (1, hkv, 1, block_k), sc_index, memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, h, sq, d),
+            lambda bi, kb, *_: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch_rows = hkv * group * sq
+    else:
+        kernel = functools.partial(
+            _decode_kernel,
+            block_k=block_k,
+            num_k_blocks=num_k_blocks,
+            group=group,
+            sq=sq,
+            scale=1.0 / math.sqrt(d),
+            quant=quant,
+            sk=sk,
+        )
+
+        def kv_index(bi, hi, kb, kvlen, qpos, slope):
+            last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+            return (bi, hi, jnp.minimum(kb, last), 0)
+
+        def sc_index(bi, hi, kb, kvlen, qpos, slope):
+            last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+            return (bi, hi, 0, jnp.minimum(kb, last))
+
+        grid = (b, hkv, num_k_blocks)
+        q_spec = pl.BlockSpec(
             (1, group, sq, d),
             lambda bi, hi, kb, *_: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec((1, 1, block_k, d), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, d), kv_index, memory_space=pltpu.VMEM),
-    ]
+        )
+        kv_spec = pl.BlockSpec(
+            (1, 1, block_k, d), kv_index, memory_space=pltpu.VMEM
+        )
+        scale_spec = pl.BlockSpec(
+            (1, 1, 1, block_k), sc_index, memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, group, sq, d),
+            lambda bi, hi, kb, *_: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch_rows = group * sq
+
+    in_specs = [q_spec, kv_spec, kv_spec]
     args = [q, k_cache, v_cache]
     if quant:
         # scales ride as [B, Hkv, 1, S]: the blocked trailing dims are then
-        # (1, block_k) — legal under Mosaic's last-two-dims rule AND already
-        # lane-aligned for the [rows, block_k] logits multiply
-        in_specs += [
-            pl.BlockSpec((1, 1, 1, block_k), sc_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, block_k), sc_index, memory_space=pltpu.VMEM),
-        ]
+        # (1|Hkv..., block_k) — legal under Mosaic's last-two-dims rule AND
+        # already lane-aligned for the [rows, block_k] logits multiply
+        in_specs += [scale_spec, scale_spec]
         args += [
             k_scale.astype(jnp.float32)[:, :, None, :],
             v_scale.astype(jnp.float32)[:, :, None, :],
@@ -235,17 +411,13 @@ def flash_decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, hkv, num_k_blocks),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, group, sq, d),
-            lambda bi, hi, kb, *_: (bi, hi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((group * sq, d), jnp.float32),
-            pltpu.VMEM((group * sq, 128), jnp.float32),
-            pltpu.VMEM((group * sq, 128), jnp.float32),
+            pltpu.VMEM((scratch_rows, d), jnp.float32),
+            pltpu.VMEM((scratch_rows, 128), jnp.float32),
+            pltpu.VMEM((scratch_rows, 128), jnp.float32),
         ],
     )
     kv_bytes = k_cache.dtype.itemsize
@@ -274,6 +446,7 @@ def decode_attention(
     slopes: Optional[jnp.ndarray] = None,
     use_pallas: bool = True,
     block_k: int = 512,
+    all_heads: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Dispatching decode-attention entry point: the Pallas flash-decode
@@ -292,6 +465,7 @@ def decode_attention(
             v_scale=v_scale,
             slopes=slopes,
             block_k=block_k,
+            all_heads=all_heads,
             interpret=interpret,
         )
     return xla_attention(

@@ -11,7 +11,13 @@ import numpy as np
 import pytest
 
 from llark_tpu.ops.attention import alibi_slopes, xla_attention
-from llark_tpu.ops.decode_attention import flash_decode_attention
+from llark_tpu.ops.decode_attention import flash_decode_attention as _fda
+
+
+@pytest.fixture(params=[True, False], ids=["allheads", "perhead"])
+def flash_decode_attention(request):
+    import functools
+    return functools.partial(_fda, all_heads=request.param)
 
 
 def _mk(b, h, hkv, s, d, key, dtype=jnp.bfloat16):
@@ -47,7 +53,7 @@ def _assert_close(got, want, tol=2e-2):
 
 
 @pytest.mark.parametrize("hkv", [4, 2, 1])  # MHA, GQA, MQA
-def test_flash_decode_matches_xla_bf16(hkv):
+def test_flash_decode_matches_xla_bf16(hkv, flash_decode_attention):
     b, h, s, d = 3, 4, 256, 128
     q, k, v = _mk(b, h, hkv, s, d, jax.random.PRNGKey(0))
     kv_lengths = jnp.array([256, 130, 1], jnp.int32)
@@ -60,7 +66,7 @@ def test_flash_decode_matches_xla_bf16(hkv):
     _assert_close(got, want)
 
 
-def test_flash_decode_int8_scales():
+def test_flash_decode_int8_scales(flash_decode_attention):
     b, h, s, d = 2, 4, 256, 128
     q, k, v = _mk(b, h, 4, s, d, jax.random.PRNGKey(1))
     k8, ksc = _quant(k)
@@ -75,7 +81,7 @@ def test_flash_decode_int8_scales():
     _assert_close(got, want)
 
 
-def test_flash_decode_alibi():
+def test_flash_decode_alibi(flash_decode_attention):
     b, h, s, d = 2, 8, 256, 128
     q, k, v = _mk(b, h, 8, s, d, jax.random.PRNGKey(2))
     slopes = alibi_slopes(h)
@@ -89,7 +95,7 @@ def test_flash_decode_alibi():
     _assert_close(got, want)
 
 
-def test_flash_decode_alibi_gqa_int8():
+def test_flash_decode_alibi_gqa_int8(flash_decode_attention):
     # all features at once: GQA group 2 + alibi + int8 cache + ragged rows
     b, h, hkv, s, d = 2, 8, 4, 384, 128
     q, k, v = _mk(b, h, hkv, s, d, jax.random.PRNGKey(3))
@@ -107,7 +113,7 @@ def test_flash_decode_alibi_gqa_int8():
     _assert_close(got, want)
 
 
-def test_flash_decode_len_below_one_block():
+def test_flash_decode_len_below_one_block(flash_decode_attention):
     b, h, s, d = 2, 2, 512, 128
     q, k, v = _mk(b, h, 2, s, d, jax.random.PRNGKey(4))
     kv_lengths = jnp.array([3, 17], jnp.int32)
@@ -118,7 +124,7 @@ def test_flash_decode_len_below_one_block():
     _assert_close(got, want)
 
 
-def test_flash_decode_clamped_qpos():
+def test_flash_decode_clamped_qpos(flash_decode_attention):
     # kv_lengths clamped below the query's absolute position (external
     # kv_lengths cap in _layer_forward): alibi still uses the abs position
     b, h, s, d = 1, 4, 256, 128
@@ -134,7 +140,7 @@ def test_flash_decode_clamped_qpos():
     _assert_close(got, want)
 
 
-def test_flash_decode_non_divisible_cache():
+def test_flash_decode_non_divisible_cache(flash_decode_attention):
     # serving caches are rarely block-aligned (e.g. prompt+headroom=1104);
     # the tail block is masked, not silently fallen back to XLA
     b, h, s, d = 2, 4, 368, 128  # 368 = 2*128 + 112 tail
@@ -150,7 +156,7 @@ def test_flash_decode_non_divisible_cache():
     _assert_close(got, want)
 
 
-def test_flash_decode_multi_query_verify_shape():
+def test_flash_decode_multi_query_verify_shape(flash_decode_attention):
     # speculative verify: gamma+1 queries per row attend the cache with
     # in-window causality (row j sees keys <= q_pos + j)
     b, h, hkv, s, d, sq = 2, 4, 2, 384, 128, 5
@@ -173,7 +179,7 @@ def test_flash_decode_multi_query_verify_shape():
     _assert_close(got, want)
 
 
-def test_flash_decode_multi_query_bf16():
+def test_flash_decode_multi_query_bf16(flash_decode_attention):
     b, h, s, d, sq = 1, 2, 256, 128, 9  # gamma=8 verify window
     key = jax.random.PRNGKey(8)
     ks = jax.random.split(key, 3)
