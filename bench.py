@@ -21,9 +21,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _env_flash() -> bool:
+def _env_flash():
+    """None = framework default (XLA decode; serving flips flash on)."""
     import os
-    return os.environ.get("LLARK_TPU_BENCH_FLASH", "1") != "0"
+    v = os.environ.get("LLARK_TPU_BENCH_FLASH")
+    return None if v is None else v != "0"
 
 
 def build(cfg_name: str):

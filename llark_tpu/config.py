@@ -50,9 +50,14 @@ class ModelConfig:
     # int8 KV cache: halves cache HBM bytes/step and doubles slot/context
     # capacity; per-(head, position) scales folded into the attention dots
     kv_cache_quant: bool = False
-    # Pallas flash-decode kernel for Sq=1 steps: streams only the live KV
-    # blocks from HBM (ops/decode_attention.py); falls back to XLA off-TPU
-    use_flash_decode: bool = True
+    # Pallas flash-decode kernel for short cached steps: streams only the
+    # live KV blocks from HBM (ops/decode_attention.py). Measured crossover
+    # (PERFORMANCE.md round 2): wins when live context < ~0.55x the padded
+    # cache (the serving regime -- caches sized for max context), loses to
+    # XLA's dense padded read near cache-full. None = auto: off by default,
+    # ON inside the serving stack (inference/server.py provisions padded
+    # caches). Falls back to XLA off-TPU either way.
+    use_flash_decode: Optional[bool] = None
     decode_block_k: int = 512
     # Unroll the layer loop for short (<=16-token) cached steps so the KV
     # cache updates apply in place instead of riding the scan's xs->ys

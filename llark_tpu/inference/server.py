@@ -77,6 +77,14 @@ class BatchedServer:
         prefill_chunk: Optional[int] = None,
         tokenizer=None,
     ):
+        if cfg.use_flash_decode is None:
+            # serving regime: the cache is provisioned for max context and
+            # live length is usually well below it -- the Pallas flash-
+            # decode kernel's live-only reads win here (PERFORMANCE.md
+            # round-2 crossover: live < ~0.55x padded)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, use_flash_decode=True)
         self.cfg = cfg
         self.params = params
         self.audio_patch_id = audio_patch_id

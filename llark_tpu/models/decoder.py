@@ -326,7 +326,7 @@ def _layer_forward(
                 block_q=cfg.attention_block_q,
                 block_k=cfg.attention_block_k,
             )
-        elif cache_positions is not None and s <= 16 and cfg.use_flash_decode:
+        elif cache_positions is not None and s <= 16 and cfg.use_flash_decode is True:
             # short-query decode (single-token steps and speculative
             # verify windows): Pallas flash-decode streams only the live
             # cache blocks (ops/decode_attention.py); XLA elsewhere
