@@ -1,6 +1,9 @@
 """Continuous-batching serving benchmark: 7B int8 weights, int8 KV cache,
-chunked prefill, 4 slots, one chip. Produced the 147 tok/s aggregate number
-in PERFORMANCE.md. Run on a TPU host: python scripts/bench/bench_serving.py"""
+chunked prefill, one chip. Produced the serving aggregate numbers in
+PERFORMANCE.md. --slots picks the slot count (4 = the r1 configuration;
+8 rides the int8-KV capacity headroom + unrolled-decode batch scaling).
+Run on a TPU host: python scripts/bench/bench_serving.py [--slots 8]"""
+import argparse
 import dataclasses
 import time
 
@@ -30,10 +33,24 @@ for i in range(12):
     audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
     reqs.append(Request(ids, audio))
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--slots", type=int, default=4)
+ap.add_argument("--requests", type=int, default=0,
+                help="override request count (default 12, or 3x slots if larger)")
+args = ap.parse_args()
+n_req = args.requests or max(12, 3 * args.slots)
+while len(reqs) < n_req:
+    i = len(reqs)
+    n = 380 + (i * 17) % 120
+    ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
+    audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
+    reqs.append(Request(ids, audio))
+reqs = reqs[:n_req]
+
 server = BatchedServer(
     cfg, params, audio_patch_id=31999,
     gen_cfg=GenerationConfig(max_new_tokens=128, temperature=0.0, stop_text=""),
-    max_batch=4, max_cache_len=1024, prompt_buckets=(512,),
+    max_batch=args.slots, max_cache_len=1024, prompt_buckets=(512,),
     max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
 )
 # warmup: compile prefill/decode/insert programs on a small set
@@ -59,4 +76,5 @@ rates = [
     if r.tokens
 ]
 stats["ngram_acceptance_g4"] = round(float(np.mean(rates)), 3) if rates else None
+stats["slots"] = args.slots
 print(stats)
