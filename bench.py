@@ -155,7 +155,12 @@ def run(cfg_name: str):
     except Exception as e:
         sys.stderr.write(f"batch-4 measurement failed: {type(e).__name__}: {e}\n")
         agg = None
-    return cfg_name, best, ttft, baseline, agg
+    try:
+        agg8, _ = measure(8, reps=2)  # int8-KV capacity ceiling config
+    except Exception as e:
+        sys.stderr.write(f"batch-8 measurement failed: {type(e).__name__}: {e}\n")
+        agg8 = None
+    return cfg_name, best, ttft, baseline, agg, agg8
 
 
 def run_jukebox():
@@ -219,7 +224,7 @@ def main():
 
     for name in ("7b", "1b"):
         try:
-            cfg_name, tps, ttft, baseline, agg = _retry(lambda: run(name))
+            cfg_name, tps, ttft, baseline, agg, agg8 = _retry(lambda: run(name))
             decode = {
                 f"llark_{cfg_name}_decode_tokens_per_sec": round(tps, 2),
                 f"llark_{cfg_name}_decode_vs_a100": round(tps / baseline, 3),
@@ -227,6 +232,8 @@ def main():
             }
             if agg:
                 decode[f"llark_{cfg_name}_batch4_tokens_per_sec"] = round(agg, 2)
+            if agg8:
+                decode[f"llark_{cfg_name}_batch8_tokens_per_sec"] = round(agg8, 2)
             if out is None:
                 out = {
                     "metric": f"llark_{cfg_name}_decode_tokens_per_sec",

@@ -76,6 +76,10 @@ class BatchedServer:
         decode_chunk: int = 8,
         prefill_chunk: Optional[int] = None,
         tokenizer=None,
+        draft_cfg: Optional[ModelConfig] = None,
+        draft_params=None,
+        gamma: int = 4,
+        spec_rounds: int = 2,
     ):
         if cfg.use_flash_decode is None:
             # serving regime: the cache is provisioned for max context and
@@ -118,6 +122,40 @@ class BatchedServer:
             donate_argnums=(2,),
         )
         self._insert = jax.jit(self._insert_row, donate_argnums=(0,))
+
+        # speculative serving: a draft model turns each decode round into
+        # spec_rounds fused propose->verify->accept rounds on-device
+        # (inference/speculative.py make_fused_rounds_fn is batched with
+        # per-row ragged positions, so it drops into the slot engine)
+        if (draft_cfg is None) != (draft_params is None):
+            raise ValueError("draft_cfg and draft_params must be given together")
+        self.draft_cfg = draft_cfg
+        self.draft_params = draft_params
+        self.gamma = int(gamma)
+        self.spec_rounds = int(spec_rounds)
+        if draft_cfg is not None:
+            from llark_tpu.inference.speculative import make_fused_rounds_fn
+
+            if draft_cfg.use_flash_decode is None:
+                import dataclasses as _dc
+
+                draft_cfg = _dc.replace(draft_cfg, use_flash_decode=True)
+                self.draft_cfg = draft_cfg
+            # device rows may overshoot while the host decides to stop them;
+            # clamping inside the fused program keeps writes in bounds
+            self._spec_max_pos = max_cache_len - 1 - self.gamma
+            self._d_prefill = jax.jit(
+                make_prefill_fn(draft_cfg, audio_patch_id, max_cache_len)
+            )
+            self._spec = jax.jit(
+                make_fused_rounds_fn(
+                    cfg, draft_cfg, self.gen_cfg, self.gamma,
+                    self.spec_rounds, self._spec_max_pos,
+                ),
+                donate_argnums=(2, 3),
+            )
+            self._d_cache = None
+            self._prev_tok = np.zeros((max_batch,), np.int32)
 
         # persistent batched cache, built lazily from the first prefill's
         # row cache structure (avoids duplicating init_kv_cache shapes here)
@@ -201,6 +239,21 @@ class BatchedServer:
             from llark_tpu.generate import _sample
 
             firsts = np.asarray(jax.device_get(_sample(logits, self.gen_cfg, sub)))
+            if self.draft_cfg is not None:
+                _, d_new_cache = self._d_prefill(
+                    self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
+                    jnp.asarray(audio), jnp.asarray(fcnt),
+                )
+                if self._d_cache is None:
+                    self._d_cache = jax.tree.map(
+                        lambda r: (
+                            r if r.ndim == 0
+                            else jnp.zeros(
+                                (r.shape[0], self.max_batch) + r.shape[2:], r.dtype
+                            )
+                        ),
+                        d_new_cache,
+                    )
             if self._cache is None:
                 # build the persistent batched cache from the row structure
                 self._cache = jax.tree.map(
@@ -214,6 +267,9 @@ class BatchedServer:
             for j, req in enumerate(group):
                 slot = slots[j]
                 self._cache = self._insert(self._cache, new_cache, j, slot)
+                if self.draft_cfg is not None:
+                    self._d_cache = self._insert(self._d_cache, d_new_cache, j, slot)
+                    self._prev_tok[slot] = int(ids[j, plens[j] - 1])
                 req.first_token_at = now
                 self._slot_req[slot] = req
                 self._write_pos[slot] = plens[j]
@@ -298,6 +354,8 @@ class BatchedServer:
     def _decode_round(self) -> None:
         """One chunked decode over all slots (inactive rows write to the
         last cache position, which is never attended by live rows)."""
+        if self.draft_cfg is not None:
+            return self._spec_round()
         active = self._active()
         if not active:
             return
@@ -323,6 +381,53 @@ class BatchedServer:
                 self._write_pos[i] += self.decode_chunk
                 self._tokens_in_flight[i] = int(toks[i, -1])
 
+    def _spec_round(self) -> None:
+        """One fused speculative pass over all slots: spec_rounds complete
+        propose->verify->accept->advance rounds in a single dispatch.
+        Inactive rows park near the cache tail (their draft/target writes
+        land in the never-attended tail region; the fused program's
+        max_pos clamp keeps them in bounds)."""
+        active = self._active()
+        if not active:
+            return
+        prev = np.zeros((self.max_batch,), np.int32)
+        last = np.zeros((self.max_batch,), np.int32)
+        pos = np.full(
+            (self.max_batch,),
+            self._spec_max_pos - self.spec_rounds * (self.gamma + 1),
+            np.int32,
+        )
+        for i in active:
+            prev[i] = self._prev_tok[i]
+            last[i] = self._tokens_in_flight[i]
+            pos[i] = self._write_pos[i]
+        self._rng, sub = jax.random.split(self._rng)
+        toks, n_emit, self._cache, self._d_cache, prev_o, last_o, pos_o, _ = (
+            self._spec(
+                self.params, self.draft_params, self._cache, self._d_cache,
+                jnp.asarray(prev), jnp.asarray(last), jnp.asarray(pos), sub,
+            )
+        )
+        toks = np.asarray(jax.device_get(toks))  # [B, rounds, gamma+1]
+        n_emit = np.asarray(jax.device_get(n_emit))  # [B, rounds]
+        prev_o = np.asarray(jax.device_get(prev_o))
+        last_o = np.asarray(jax.device_get(last_o))
+        pos_o = np.asarray(jax.device_get(pos_o))
+        for i in active:
+            finished = False
+            for r in range(self.spec_rounds):
+                for j in range(int(n_emit[i, r])):
+                    if self._absorb(i, int(toks[i, r, j])):
+                        self._finish(i)
+                        finished = True
+                        break
+                if finished:
+                    break
+            if not finished:
+                self._write_pos[i] = int(pos_o[i])
+                self._prev_tok[i] = int(prev_o[i])
+                self._tokens_in_flight[i] = int(last_o[i])
+
     # ------------------------------------------------------------------
     def serve(self, requests: List[Request]) -> List[Request]:
         """Run all requests to completion with continuous batching; returns
@@ -334,8 +439,13 @@ class BatchedServer:
                 "race over the donated KV cache)"
             )
         now = time.time()
+        headroom = self.decode_chunk
+        if self.draft_cfg is not None:
+            # a live row can advance a full fused dispatch past its stop
+            # point before the host truncates it
+            headroom = 2 * self.spec_rounds * (self.gamma + 1) + self.gamma + 1
         cap = min(
-            self.max_cache_len - self.gen_cfg.max_new_tokens - self.decode_chunk,
+            self.max_cache_len - self.gen_cfg.max_new_tokens - headroom,
             self.prompt_buckets[-1],
         )
         for r in requests:

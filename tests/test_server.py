@@ -121,3 +121,31 @@ def test_server_chunked_prefill_matches_generator(setup):
     )
     out = server.serve([Request(ids, audio) for ids, audio in reqs])
     assert [r.tokens for r in out] == ref
+
+
+def test_speculative_server_matches_generator(setup):
+    """Speculative serving (fused draft-propose -> target-verify rounds in
+    the slot engine) emits exactly the plain greedy tokens, independent of
+    draft quality -- here the draft is a DIFFERENT random tiny model, so
+    acceptance is near zero and every round falls back to the target's own
+    token."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    draft_cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    draft_cfg.vocab_size = cfg.vocab_size
+    draft_params = init_llark_params(draft_cfg, jax.random.PRNGKey(7))
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2,
+        draft_cfg=draft_cfg, draft_params=draft_params,
+        gamma=3, spec_rounds=2,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    got = [r.tokens for r in out]
+    assert got == ref
