@@ -21,6 +21,8 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -467,8 +469,14 @@ def decoder_forward(
         body = jax.checkpoint(body, prevent_cse=False)
 
     unroll = cfg.decode_unroll_layers
-    if unroll is None:  # auto: unroll where the KV term dominates (B >= 2);
-        unroll = b >= 2  # single-stream decode measured faster on the scan
+    if unroll is None and kv_cache is not None:
+        # auto: unrolling trades the scan's whole-cache xs->ys copy for
+        # ~0.1 ms/layer of fixed overhead, so it pays only when the
+        # per-layer cache traffic is large (measured: 7B B8 int8 +15%,
+        # 7B B4 int8 flat, MPT-1B B4 -31% -- see PERFORMANCE.md)
+        kb = kv_cache["k"]
+        cache_layer_bytes = 2 * int(np.prod(kb.shape[1:])) * kb.dtype.itemsize
+        unroll = b >= 2 and cache_layer_bytes >= 48 * 1024 * 1024
     if kv_cache is not None and unroll and s <= 16:
         # Unrolled decode: the layer scan threads the FULL cache through
         # xs->ys, which XLA may double-buffer (a whole-cache copy per

@@ -130,6 +130,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--unroll", default="auto", choices=["auto", "0", "1"],
+                    help="decode_unroll_layers: auto / force off / force on")
     args = ap.parse_args()
 
     audio_patch_id = 50368  # first added special token row
@@ -137,15 +140,18 @@ def main():
 
     # training: bf16 params (reference trains bf16; Adam moments mirror
     # the param dtype here — the fp32-master variant is a DP concern)
-    train_cfg = ModelConfig.mpt_1b(param_dtype="bfloat16", dtype="bfloat16")
-    step_s = bench_train_step(train_cfg, audio_patch_id, args.reps)
-    results["train_step_ms_b4_seq2048"] = round(step_s * 1e3, 1)
-    results["train_tokens_per_sec"] = round(TRAIN_BATCH * SEQ / step_s, 0)
-    print(f"train step (b{TRAIN_BATCH} x s{SEQ}): {step_s*1e3:.1f} ms "
-          f"= {TRAIN_BATCH*SEQ/step_s:,.0f} tok/s", flush=True)
+    if not args.skip_train:
+        train_cfg = ModelConfig.mpt_1b(param_dtype="bfloat16", dtype="bfloat16")
+        step_s = bench_train_step(train_cfg, audio_patch_id, args.reps)
+        results["train_step_ms_b4_seq2048"] = round(step_s * 1e3, 1)
+        results["train_tokens_per_sec"] = round(TRAIN_BATCH * SEQ / step_s, 0)
+        print(f"train step (b{TRAIN_BATCH} x s{SEQ}): {step_s*1e3:.1f} ms "
+              f"= {TRAIN_BATCH*SEQ/step_s:,.0f} tok/s", flush=True)
 
+    unroll = None if args.unroll == "auto" else bool(int(args.unroll))
     serve_cfg = ModelConfig.mpt_1b(
-        param_dtype="bfloat16", dtype="bfloat16", remat=False, kv_cache_quant=True
+        param_dtype="bfloat16", dtype="bfloat16", remat=False, kv_cache_quant=True,
+        decode_unroll_layers=unroll,
     )
     for quant in (False, True):
         tag = "int8" if quant else "bf16"
