@@ -140,6 +140,10 @@ def batch_infer_continuous(
     max_audio_frames: int = 256,
     prompt_override: Optional[str] = None,
     prefill_chunk: Optional[int] = None,
+    draft_cfg=None,
+    draft_params=None,
+    gamma: int = 4,
+    spec_rounds: int = 2,
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
     (llark_tpu/inference/server.py): all rows stream through `max_batch`
@@ -159,6 +163,10 @@ def batch_infer_continuous(
         max_audio_frames=max_audio_frames,
         prefill_chunk=prefill_chunk,
         tokenizer=bundle.tokenizer,
+        draft_cfg=draft_cfg,
+        draft_params=draft_params,
+        gamma=gamma,
+        spec_rounds=spec_rounds,
     )
     requests: List[Request] = []
     prompts: List[str] = []

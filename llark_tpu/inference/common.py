@@ -35,6 +35,9 @@ def add_generation_args(p) -> None:
     )
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative draft length per verify round")
+    p.add_argument("--spec-rounds", type=int, default=2,
+                   help="with --continuous-batching + --speculative draft: "
+                        "fused propose/verify rounds per decode dispatch")
     p.add_argument("--prefill-chunk", type=int, default=None,
                    help="with --continuous-batching: admit prompts in chunks "
                         "of this many tokens, interleaving decode rounds so "
@@ -75,11 +78,16 @@ def make_gen_cfg(args):
 
 def check_serving_args(args) -> None:
     """Reject flag combinations that would otherwise be silently ignored."""
-    if getattr(args, "continuous_batching", 0) and getattr(args, "speculative", "off") != "off":
-        raise SystemExit(
-            "--speculative is not supported with --continuous-batching "
-            "(the batched server amortizes the weight read across slots already)"
-        )
+    if getattr(args, "continuous_batching", 0):
+        spec = getattr(args, "speculative", "off")
+        if spec == "ngram":
+            raise SystemExit(
+                "--speculative ngram is not supported with "
+                "--continuous-batching (prompt-lookup drafting is host-side; "
+                "use --speculative draft with a draft checkpoint)"
+            )
+        if spec == "draft" and not getattr(args, "draft_checkpoint_dir", None):
+            raise SystemExit("--speculative draft requires --draft-checkpoint-dir")
     pfc = getattr(args, "prefill_chunk", None)
     if pfc is not None:
         if not getattr(args, "continuous_batching", 0):
@@ -144,3 +152,17 @@ def load_generator(args, bundle, cfg, params):
         gen_cfg=gen_cfg,
         max_cache_len=args.max_cache_len,
     )
+
+
+def load_draft(args):
+    """(draft_cfg, draft_params) for --speculative draft, else (None, None)."""
+    if getattr(args, "speculative", "off") != "draft":
+        return None, None
+    if not getattr(args, "draft_checkpoint_dir", None):
+        raise SystemExit("--speculative draft requires --draft-checkpoint-dir")
+    from llark_tpu.models.utils import load_pretrained_model
+
+    draft_cfg, draft_params, _ = load_pretrained_model(
+        args.draft_checkpoint_dir, getattr(args, "draft_ckpt_num", None)
+    )
+    return draft_cfg, draft_params

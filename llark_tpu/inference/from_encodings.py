@@ -67,6 +67,9 @@ def main(argv=None):
     if args.continuous_batching:
         from llark_tpu.infer import batch_infer_continuous
 
+        from llark_tpu.inference.common import load_draft
+
+        draft_cfg, draft_params = load_draft(args)
         results = batch_infer_continuous(
             rows, cfg, params, bundle,
             gen_cfg=make_gen_cfg(args),
@@ -74,6 +77,10 @@ def main(argv=None):
             max_cache_len=args.max_cache_len,
             max_audio_frames=args.max_audio_frames or 256,
             prefill_chunk=args.prefill_chunk,
+            draft_cfg=draft_cfg,
+            draft_params=draft_params,
+            gamma=args.gamma,
+            spec_rounds=args.spec_rounds,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

@@ -78,7 +78,9 @@ def main(argv=None):
     log.info("running inference over %d rows", len(rows))
     if args.continuous_batching:
         from llark_tpu.infer import batch_infer_continuous
+        from llark_tpu.inference.common import load_draft
 
+        draft_cfg, draft_params = load_draft(args)
         results = batch_infer_continuous(
             rows, cfg, params, bundle,
             gen_cfg=make_gen_cfg(args),
@@ -87,6 +89,10 @@ def main(argv=None):
             max_audio_frames=args.max_audio_frames or 256,
             prefill_chunk=args.prefill_chunk,
             prompt_override=args.prompt,
+            draft_cfg=draft_cfg,
+            draft_params=draft_params,
+            gamma=args.gamma,
+            spec_rounds=args.spec_rounds,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

@@ -248,12 +248,16 @@ def main(argv=None):
     p.add_argument("--prompt-buckets", default="128,512")
     add_generation_args(p)
     args = p.parse_args(argv)
-    # the daemon IS the continuous-batching engine: reject speculative/beam
-    # flags instead of silently ignoring them
+    # the daemon IS the continuous-batching engine: beam/ngram flags are
+    # rejected (not silently ignored); --speculative draft runs the fused
+    # draft-verify rounds inside the slot engine
     check_serving_args(args)
 
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
     cfg = apply_serving_overrides(args, cfg)
+    from llark_tpu.inference.common import load_draft
+
+    draft_cfg, draft_params = load_draft(args)
     server = BatchedServer(
         cfg,
         params,
@@ -265,6 +269,10 @@ def main(argv=None):
         max_audio_frames=args.max_audio_frames,
         prefill_chunk=args.prefill_chunk,
         tokenizer=bundle.tokenizer,
+        draft_cfg=draft_cfg,
+        draft_params=draft_params,
+        gamma=args.gamma,
+        spec_rounds=args.spec_rounds,
     )
     httpd, engine = serve_http(server, bundle, args.host, args.port)
     log.info("serving on %s:%d (%d slots)", args.host, args.port,

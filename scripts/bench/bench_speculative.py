@@ -245,7 +245,7 @@ def main():
             kw = {}
             if with_draft:
                 kw = dict(draft_cfg=draft_cfg, draft_params=dparams,
-                          gamma=8, spec_rounds=2)
+                          gamma=8, spec_rounds=4)
             srv = BatchedServer(
                 target_cfg, tparams, audio_patch_id=VOCAB - 1,
                 gen_cfg=GenerationConfig(max_new_tokens=max_new,
