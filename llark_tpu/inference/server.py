@@ -100,8 +100,13 @@ class BatchedServer:
         self.decode_chunk = decode_chunk
         self.tokenizer = tokenizer
 
-        # one b=1 prefill program per prompt bucket
-        self._prefill = jax.jit(make_prefill_fn(cfg, audio_patch_id, max_cache_len))
+        # one prefill program per prompt bucket, with a BUCKET-sized cache:
+        # admission only needs the prompt positions (the row splice into the
+        # persistent cache writes those; decode overwrites past plen), and a
+        # max_cache_len x max_batch admission cache would duplicate the
+        # persistent cache's full HBM footprint (measured OOM at 8 slots x
+        # 2048 int8 on one chip)
+        self._prefill_by_bucket: Dict[int, Any] = {}
         # chunked admission: interleave prompt-chunk forwards with decode
         # rounds so live slots keep emitting during long-prompt prefills
         self.prefill_chunk = prefill_chunk
@@ -231,7 +236,13 @@ class BatchedServer:
             if self.prefill_chunk is not None:
                 logits, new_cache = self._chunked_prefill(ids, plens, audio, fcnt)
             else:
-                logits, new_cache = self._prefill(
+                if head_bucket not in self._prefill_by_bucket:
+                    self._prefill_by_bucket[head_bucket] = jax.jit(
+                        make_prefill_fn(
+                            self.cfg, self.audio_patch_id, head_bucket
+                        )
+                    )
+                logits, new_cache = self._prefill_by_bucket[head_bucket](
                     self.params, jnp.asarray(ids), jnp.asarray(plens),
                     jnp.asarray(audio), jnp.asarray(fcnt),
                 )
@@ -245,23 +256,18 @@ class BatchedServer:
                     jnp.asarray(audio), jnp.asarray(fcnt),
                 )
                 if self._d_cache is None:
-                    self._d_cache = jax.tree.map(
-                        lambda r: (
-                            r if r.ndim == 0
-                            else jnp.zeros(
-                                (r.shape[0], self.max_batch) + r.shape[2:], r.dtype
-                            )
-                        ),
-                        d_new_cache,
+                    from llark_tpu.models.decoder import init_kv_cache
+
+                    self._d_cache = init_kv_cache(
+                        self.draft_cfg, self.max_batch, self.max_cache_len
                     )
             if self._cache is None:
-                # build the persistent batched cache from the row structure
-                self._cache = jax.tree.map(
-                    lambda r: (
-                        r if r.ndim == 0
-                        else jnp.zeros((r.shape[0], self.max_batch) + r.shape[2:], r.dtype)
-                    ),
-                    new_cache,
+                # the persistent batched cache is FULL max_cache_len even
+                # though admission caches are bucket-sized
+                from llark_tpu.models.decoder import init_kv_cache
+
+                self._cache = init_kv_cache(
+                    self.cfg, self.max_batch, self.max_cache_len
                 )
             now = time.time()
             for j, req in enumerate(group):
@@ -304,7 +310,9 @@ class BatchedServer:
                 "that divides the bucket or enlarge the cache"
             )
         padded = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0))) if pad else embeds
-        cache = init_kv_cache(self.cfg, k, self.max_cache_len)
+        # bucket-sized admission cache (see __init__ note): the row splice
+        # into the persistent cache only reads the prompt positions
+        cache = init_kv_cache(self.cfg, k, bucket + pad)
         plens_j = jnp.asarray(plens)
         for c in range(0, bucket + pad, self.prefill_chunk):
             cache = self._prefill_chunk(

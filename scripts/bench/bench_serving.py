@@ -28,7 +28,7 @@ params = quantize_params_int8_incremental(cfg, params)
 rng = np.random.RandomState(0)
 reqs = []
 for i in range(12):
-    n = 380 + (i * 17) % 120  # 380-500 token prompts
+    n = 380 + (i * 17) % 120  # placeholder; rebuilt below from --prompt-base
     ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
     audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
     reqs.append(Request(ids, audio))
@@ -37,20 +37,24 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--slots", type=int, default=4)
 ap.add_argument("--requests", type=int, default=0,
                 help="override request count (default 12, or 3x slots if larger)")
+ap.add_argument("--max-cache-len", type=int, default=1024)
+ap.add_argument("--prompt-base", type=int, default=380,
+                help="prompts are prompt-base .. prompt-base+120 tokens")
+ap.add_argument("--bucket", type=int, default=512)
 args = ap.parse_args()
 n_req = args.requests or max(12, 3 * args.slots)
-while len(reqs) < n_req:
-    i = len(reqs)
-    n = 380 + (i * 17) % 120
+reqs = []
+for i in range(n_req):
+    n = args.prompt_base + (i * 17) % 120
     ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
     audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
     reqs.append(Request(ids, audio))
-reqs = reqs[:n_req]
 
 server = BatchedServer(
     cfg, params, audio_patch_id=31999,
     gen_cfg=GenerationConfig(max_new_tokens=128, temperature=0.0, stop_text=""),
-    max_batch=args.slots, max_cache_len=1024, prompt_buckets=(512,),
+    max_batch=args.slots, max_cache_len=args.max_cache_len,
+    prompt_buckets=(args.bucket,),
     max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
 )
 # warmup: compile prefill/decode/insert programs on a small set
@@ -77,4 +81,5 @@ rates = [
 ]
 stats["ngram_acceptance_g4"] = round(float(np.mean(rates)), 3) if rates else None
 stats["slots"] = args.slots
+stats["max_cache_len"] = args.max_cache_len
 print(stats)
