@@ -141,6 +141,18 @@ class BatchedServer:
         if draft_cfg is not None:
             from llark_tpu.inference.speculative import make_fused_rounds_fn
 
+            if draft_cfg.mm_hidden_size != cfg.mm_hidden_size:
+                # admission feeds ONE audio buffer to both prefills
+                raise ValueError(
+                    f"draft mm_hidden_size {draft_cfg.mm_hidden_size} != "
+                    f"target {cfg.mm_hidden_size}"
+                )
+            if draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"draft vocab {draft_cfg.vocab_size} != target "
+                    f"{cfg.vocab_size} (proposals are target-vocab ids)"
+                )
+
             if draft_cfg.use_flash_decode is None:
                 import dataclasses as _dc
 

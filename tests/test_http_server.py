@@ -209,3 +209,46 @@ def test_engine_survives_malformed_request(stack):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def test_online_engine_speculative(tmp_path):
+    """The engine thread drives the speculative slot rounds: generate()
+    through OnlineEngine with a draft model matches plain-engine output."""
+    import numpy as np
+    import jax
+    from llark_tpu.config import ModelConfig
+    from llark_tpu.generate import GenerationConfig
+    from llark_tpu.inference.http_server import OnlineEngine
+    from llark_tpu.inference.server import BatchedServer, Request
+    from llark_tpu.models.fusion import init_llark_params
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    draft_cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    draft_cfg.vocab_size = cfg.vocab_size
+    draft_params = init_llark_params(draft_cfg, jax.random.PRNGKey(9))
+
+    rng = np.random.RandomState(3)
+    ids = [rng.randint(4, 40, n).astype(np.int32) for n in (6, 9, 5)]
+
+    outs = {}
+    for spec in (False, True):
+        kw = dict(draft_cfg=draft_cfg, draft_params=draft_params,
+                  gamma=2, spec_rounds=2) if spec else {}
+        server = BatchedServer(
+            cfg, params, bundle.audio_patch_id,
+            GenerationConfig(max_new_tokens=5, temperature=0.0,
+                             stop_text="", decode_chunk=2),
+            max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+            max_audio_frames=4, decode_chunk=2, **kw,
+        )
+        engine = OnlineEngine(server).start()
+        try:
+            reqs = [engine.generate(Request(i.copy(), None)) for i in ids]
+        finally:
+            engine.stop()
+        outs[spec] = [r.tokens for r in reqs]
+    assert outs[True] == outs[False]
