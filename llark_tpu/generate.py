@@ -137,6 +137,76 @@ def make_prefill_last_fn(cfg: ModelConfig):
     return last
 
 
+def make_prefix_cache_fn(cfg: ModelConfig):
+    """Build a b=1 KV cache holding exactly a shared prompt prefix.
+
+    Prefix caching: every LLark request opens with the same conversation
+    header (the fixed "A chat between a curious human..." system text of
+    conv_v1_2 — reference m2t/llava/conversation.py:237-271), so its KV is
+    computed ONCE and admission only prefills the per-request suffix
+    (question + audio tokens). The returned cache has length == prefix
+    length and index == prefix length; broadcast it into admission caches
+    and continue with make_suffix_prefill_fn.
+    """
+
+    def build(params, prefix_ids):
+        p = prefix_ids.shape[1]
+        embeds = decoder_lib.embed_tokens(cfg, params, prefix_ids)
+        cache = init_kv_cache(cfg, prefix_ids.shape[0], p)
+        _, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=embeds,
+            seq_lengths=jnp.full((prefix_ids.shape[0],), p, jnp.int32),
+            kv_cache=cache,
+            prefill_from_empty=True,
+            return_hidden=True,  # mid-prompt: only the cache matters
+        )
+        return cache
+
+    return build
+
+
+def make_suffix_prefill_fn(cfg: ModelConfig, audio_patch_id: int):
+    """Jittable prefill of per-request suffixes over a cache whose first
+    `cache["index"]` positions already hold a shared prefix KV (see
+    make_prefix_cache_fn). Positions and attention windows are absolute
+    (cache-index offset), so with a full-precision cache the result is
+    token-identical to one-shot prefill of prefix+suffix; with
+    kv_cache_quant the suffix attends the int8-quantized prefix
+    (quantization-noise-level difference — same caveat as chunked
+    prefill, see BatchedServer._chunked_prefill).
+
+    (params, suffix_ids [B, Ss], suffix_lengths [B], audio, frame_counts,
+    cache) -> (next_token_logits [B, V], cache).
+    """
+
+    def prefill(
+        params, suffix_ids, suffix_lengths, audio_encodings,
+        audio_frame_counts, cache,
+    ):
+        _, s = suffix_ids.shape
+        inputs_embeds = build_inputs_embeds(
+            cfg, params, suffix_ids, audio_encodings, audio_patch_id,
+            audio_frame_counts,
+        )
+        abs_lengths = suffix_lengths + cache["index"]
+        logits, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=inputs_embeds,
+            seq_lengths=abs_lengths,
+            kv_cache=cache,
+        )
+        last = jnp.clip(suffix_lengths - 1, 0, s - 1)
+        next_logits = jnp.take_along_axis(
+            logits, last[:, None, None], axis=1
+        )[:, 0, :]
+        return next_logits, cache
+
+    return prefill
+
+
 def make_decode_fn(cfg: ModelConfig):
     """Jittable single-token decode step.
 

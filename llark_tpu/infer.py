@@ -127,6 +127,26 @@ def batch_infer(
     return results
 
 
+def _common_prompt_prefix(
+    id_lists: Sequence[np.ndarray], audio_patch_id: int, min_len: int = 8
+) -> Optional[np.ndarray]:
+    """Longest common token prefix across prompts, clamped to text-only
+    (audio tokens belong to suffixes) and to leave every request at least
+    one suffix token. None when shorter than `min_len` (not worth a
+    dedicated prefill program)."""
+    lcp = np.asarray(id_lists[0], np.int32)
+    for ids in id_lists[1:]:
+        ids = np.asarray(ids, np.int32)
+        n = min(len(lcp), len(ids))
+        neq = np.nonzero(lcp[:n] != ids[:n])[0]
+        lcp = lcp[: int(neq[0]) if neq.size else n]
+    ap = np.nonzero(lcp == audio_patch_id)[0]
+    if ap.size:
+        lcp = lcp[: int(ap[0])]
+    lcp = lcp[: min(len(ids_) for ids_ in id_lists) - 1]
+    return lcp if len(lcp) >= min_len else None
+
+
 def batch_infer_continuous(
     rows: Sequence[Dict],
     cfg,
@@ -144,14 +164,36 @@ def batch_infer_continuous(
     draft_params=None,
     gamma: int = 4,
     spec_rounds: int = 2,
+    prefix_cache: bool = False,
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
     (llark_tpu/inference/server.py): all rows stream through `max_batch`
     decode slots instead of generating one at a time. Same CSV-ready output
-    contract as batch_infer."""
+    contract as batch_infer.
+
+    prefix_cache: derive the longest common token prefix of all prompts
+    (every LLark prompt opens with the same conversation header —
+    reference m2t/llava/conversation.py:237-271) and prefill its KV once;
+    admission then computes only each request's suffix. Token-identical
+    for full-precision caches; int8-KV runs attend the quantized prefix
+    (same noise class as chunked prefill)."""
     from llark_tpu.generate import GenerationConfig
     from llark_tpu.inference.server import BatchedServer, Request
 
+    requests: List[Request] = []
+    prompts: List[str] = []
+    for row in rows:
+        prompt = prompt_override or row.get("prompt") or "Describe the audio."
+        enc = _normalize_encoding(row["audio_encoding"], max_audio_frames)
+        ids = build_prompt_ids(prompt, enc.shape[0], bundle, audio_first=True)
+        requests.append(Request(np.asarray(ids, np.int32), enc))
+        prompts.append(prompt)
+
+    shared_prefix = None
+    if prefix_cache and requests:
+        shared_prefix = _common_prompt_prefix(
+            [r.input_ids for r in requests], bundle.audio_patch_id
+        )
     server = BatchedServer(
         cfg,
         params,
@@ -167,15 +209,8 @@ def batch_infer_continuous(
         draft_params=draft_params,
         gamma=gamma,
         spec_rounds=spec_rounds,
+        shared_prefix_ids=shared_prefix,
     )
-    requests: List[Request] = []
-    prompts: List[str] = []
-    for row in rows:
-        prompt = prompt_override or row.get("prompt") or "Describe the audio."
-        enc = _normalize_encoding(row["audio_encoding"], max_audio_frames)
-        ids = build_prompt_ids(prompt, enc.shape[0], bundle, audio_first=True)
-        requests.append(Request(np.asarray(ids, np.int32), enc))
-        prompts.append(prompt)
     server.serve(requests)
     return [
         {

@@ -38,6 +38,12 @@ def add_generation_args(p) -> None:
     p.add_argument("--spec-rounds", type=int, default=2,
                    help="with --continuous-batching + --speculative draft: "
                         "fused propose/verify rounds per decode dispatch")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="with --continuous-batching: prefill the KV of the "
+                        "longest common token prefix of all prompts ONCE "
+                        "(every LLark prompt opens with the same "
+                        "conversation header); admission computes only "
+                        "each request's suffix")
     p.add_argument("--prefill-chunk", type=int, default=None,
                    help="with --continuous-batching: admit prompts in chunks "
                         "of this many tokens, interleaving decode rounds so "

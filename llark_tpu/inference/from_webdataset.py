@@ -93,6 +93,7 @@ def main(argv=None):
             draft_params=draft_params,
             gamma=args.gamma,
             spec_rounds=args.spec_rounds,
+            prefix_cache=args.prefix_cache,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

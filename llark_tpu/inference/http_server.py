@@ -223,7 +223,7 @@ def serve_http(server: BatchedServer, bundle, host: str = "127.0.0.1",
     engine = OnlineEngine(server).start()
     cap = min(
         server.max_cache_len - server.gen_cfg.max_new_tokens - server.decode_chunk,
-        server.prompt_buckets[-1],
+        server._prefix_len + server.prompt_buckets[-1],
     )
     httpd = ThreadingHTTPServer((host, port), make_handler(engine, bundle, cap))
     return httpd, engine

@@ -80,6 +80,7 @@ class BatchedServer:
         draft_params=None,
         gamma: int = 4,
         spec_rounds: int = 2,
+        shared_prefix_ids: Optional[np.ndarray] = None,
     ):
         if cfg.use_flash_decode is None:
             # serving regime: the cache is provisioned for max context and
@@ -99,6 +100,36 @@ class BatchedServer:
         self.max_audio_frames = max_audio_frames
         self.decode_chunk = decode_chunk
         self.tokenizer = tokenizer
+
+        # prefix caching: every LLark request opens with the same
+        # conversation header (conv_v1_2, reference
+        # m2t/llava/conversation.py:237-271), so its KV is computed once
+        # and admission prefills only the per-request suffix
+        self._prefix_ids: Optional[np.ndarray] = None
+        if shared_prefix_ids is not None:
+            if prefill_chunk is not None:
+                raise ValueError(
+                    "prefix caching and chunked prefill are mutually "
+                    "exclusive (the suffix IS the short part)"
+                )
+            pids = np.asarray(shared_prefix_ids, np.int32).reshape(-1)
+            if pids.size < 1:
+                raise ValueError("shared_prefix_ids must be non-empty")
+            if np.any(pids == audio_patch_id):
+                raise ValueError(
+                    "the shared prefix must be text-only (audio patch "
+                    "tokens belong to the per-request suffix)"
+                )
+            self._prefix_ids = pids
+            from llark_tpu.generate import make_suffix_prefill_fn
+
+            self._suffix_prefill = jax.jit(
+                make_suffix_prefill_fn(cfg, audio_patch_id)
+            )
+            self._prefix_cache = None  # built lazily on first admission
+            self._d_prefix_cache = None
+            self._seed_by_total: Dict[Any, Any] = {}
+        self._prefix_len = 0 if self._prefix_ids is None else int(self._prefix_ids.size)
 
         # one prefill program per prompt bucket, with a BUCKET-sized cache:
         # admission only needs the prompt positions (the row splice into the
@@ -164,6 +195,12 @@ class BatchedServer:
             self._d_prefill = jax.jit(
                 make_prefill_fn(draft_cfg, audio_patch_id, max_cache_len)
             )
+            if self._prefix_ids is not None:
+                from llark_tpu.generate import make_suffix_prefill_fn
+
+                self._d_suffix_prefill = jax.jit(
+                    make_suffix_prefill_fn(draft_cfg, audio_patch_id)
+                )
             self._spec = jax.jit(
                 make_fused_rounds_fn(
                     cfg, draft_cfg, self.gen_cfg, self.gamma,
@@ -204,6 +241,76 @@ class BatchedServer:
 
         return jax.tree.map(upd, batch_cache, new_cache)
 
+    def _suffix_len(self, req: Request) -> int:
+        """Tokens the admission prefill must actually compute (the whole
+        prompt without prefix caching; the per-request suffix with it)."""
+        return len(req.input_ids) - self._prefix_len
+
+    def _check_prefix(self, req: Request) -> Optional[str]:
+        """None if the request is admissible under prefix caching, else a
+        rejection message."""
+        if self._prefix_ids is None:
+            return None
+        ids = np.asarray(req.input_ids)
+        p = self._prefix_len
+        if len(ids) <= p or not np.array_equal(ids[:p], self._prefix_ids):
+            return (
+                f"prompt must start with the {p}-token shared prefix and "
+                "carry at least one suffix token (prefix-caching server)"
+            )
+        return None
+
+    def _ensure_prefix_caches(self) -> None:
+        """Lazily run the one-time b=1 prefix prefill (target and draft)."""
+        if self._prefix_ids is None or self._prefix_cache is not None:
+            return
+        from llark_tpu.generate import make_prefix_cache_fn
+
+        ids1 = jnp.asarray(self._prefix_ids[None, :])
+        self._prefix_cache = jax.jit(make_prefix_cache_fn(self.cfg))(
+            self.params, ids1
+        )
+        if self.draft_cfg is not None:
+            self._d_prefix_cache = jax.jit(
+                make_prefix_cache_fn(self.draft_cfg)
+            )(self.draft_params, ids1)
+
+    def _seeded_admission_cache(self, which: str, total: int):
+        """Zeros admission cache of length `total` with the prefix KV
+        broadcast into every row (cache index = prefix length). Jitted per
+        (model, total) shape."""
+        if total > self.max_cache_len:
+            raise ValueError(
+                f"prefix ({self._prefix_len}) + bucket "
+                f"({total - self._prefix_len}) exceeds max_cache_len "
+                f"{self.max_cache_len}"
+            )
+        key = (which, total)
+        fn = self._seed_by_total.get(key)
+        if fn is None:
+            cfg = self.cfg if which == "t" else self.draft_cfg
+            k = self.max_batch
+
+            def seed(prefix_cache):
+                from llark_tpu.models.decoder import init_kv_cache
+
+                empty = init_kv_cache(cfg, k, total)
+
+                def put(z, p):
+                    if z.ndim == 0:  # scalar index: == prefix length
+                        return p
+                    rep = jnp.broadcast_to(p, (p.shape[0], k) + p.shape[2:])
+                    return jax.lax.dynamic_update_slice(
+                        z, rep.astype(z.dtype), (0,) * z.ndim
+                    )
+
+                return jax.tree.map(put, empty, prefix_cache)
+
+            fn = jax.jit(seed)
+            self._seed_by_total[key] = fn
+        pc = self._prefix_cache if which == "t" else self._d_prefix_cache
+        return fn(pc)
+
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
             if n <= b:
@@ -219,15 +326,29 @@ class BatchedServer:
         """Prefill queued requests into free slots. Same-bucket requests at
         the head of the queue are prefilled together in ONE batched call
         (a burst of k arrivals costs one prefill, not k)."""
+        self._ensure_prefix_caches()
         while self._queue and self._free_slots():
+            # prefix-caching servers reject prompts that don't open with
+            # the shared prefix (fail the request, not the batch)
+            while self._queue:
+                err = self._check_prefix(self._queue[0])
+                if err is None:
+                    break
+                req = self._queue.pop(0)
+                req.error = err
+                req.done = True
+                req.finished_at = time.time()
+            if not self._queue:
+                break
             slots = self._free_slots()
-            head_bucket = self._bucket(len(self._queue[0].input_ids))
+            head_bucket = self._bucket(self._suffix_len(self._queue[0]))
             # FIFO group: consecutive head-of-queue requests in this bucket
             group: List[Request] = []
             while (
                 self._queue
                 and len(group) < len(slots)
-                and self._bucket(len(self._queue[0].input_ids)) == head_bucket
+                and self._check_prefix(self._queue[0]) is None
+                and self._bucket(self._suffix_len(self._queue[0])) == head_bucket
             ):
                 group.append(self._queue.pop(0))
             # fixed admission batch (pad with plen=1 dummies): one prefill
@@ -238,14 +359,23 @@ class BatchedServer:
             audio = np.zeros((k, self.max_audio_frames, self.cfg.mm_hidden_size), np.float32)
             fcnt = np.zeros((k,), np.int32)
             for j, req in enumerate(group):
-                n = len(req.input_ids)
-                ids[j, :n] = req.input_ids
+                row = np.asarray(req.input_ids, np.int32)[self._prefix_len:]
+                n = len(row)
+                ids[j, :n] = row
                 plens[j] = n
                 if req.audio_encoding is not None:
                     t = min(req.audio_encoding.shape[0], self.max_audio_frames)
                     audio[j, :t] = req.audio_encoding[:t]
                     fcnt[j] = t
-            if self.prefill_chunk is not None:
+            if self._prefix_ids is not None:
+                cache0 = self._seeded_admission_cache(
+                    "t", self._prefix_len + head_bucket
+                )
+                logits, new_cache = self._suffix_prefill(
+                    self.params, jnp.asarray(ids), jnp.asarray(plens),
+                    jnp.asarray(audio), jnp.asarray(fcnt), cache0,
+                )
+            elif self.prefill_chunk is not None:
                 logits, new_cache = self._chunked_prefill(ids, plens, audio, fcnt)
             else:
                 if head_bucket not in self._prefill_by_bucket:
@@ -263,10 +393,19 @@ class BatchedServer:
 
             firsts = np.asarray(jax.device_get(_sample(logits, self.gen_cfg, sub)))
             if self.draft_cfg is not None:
-                _, d_new_cache = self._d_prefill(
-                    self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
-                    jnp.asarray(audio), jnp.asarray(fcnt),
-                )
+                if self._prefix_ids is not None:
+                    d_cache0 = self._seeded_admission_cache(
+                        "d", self._prefix_len + head_bucket
+                    )
+                    _, d_new_cache = self._d_suffix_prefill(
+                        self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
+                        jnp.asarray(audio), jnp.asarray(fcnt), d_cache0,
+                    )
+                else:
+                    _, d_new_cache = self._d_prefill(
+                        self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
+                        jnp.asarray(audio), jnp.asarray(fcnt),
+                    )
                 if self._d_cache is None:
                     from llark_tpu.models.decoder import init_kv_cache
 
@@ -290,7 +429,7 @@ class BatchedServer:
                     self._prev_tok[slot] = int(ids[j, plens[j] - 1])
                 req.first_token_at = now
                 self._slot_req[slot] = req
-                self._write_pos[slot] = plens[j]
+                self._write_pos[slot] = self._prefix_len + plens[j]
                 self._tokens_in_flight[slot] = int(firsts[j])
                 if self._absorb(slot, int(firsts[j])):  # may already be EOS
                     self._finish(slot)
@@ -469,7 +608,7 @@ class BatchedServer:
             headroom = 2 * self.spec_rounds * (self.gamma + 1) + self.gamma + 1
         cap = min(
             self.max_cache_len - self.gen_cfg.max_new_tokens - headroom,
-            self.prompt_buckets[-1],
+            self._prefix_len + self.prompt_buckets[-1],
         )
         for r in requests:
             r.submitted_at = now
@@ -479,6 +618,9 @@ class BatchedServer:
                     f"(cache {self.max_cache_len}, largest bucket "
                     f"{self.prompt_buckets[-1]})"
                 )
+            err = self._check_prefix(r)
+            if err is not None:
+                raise ValueError(err)
         self._queue.extend(requests)
         while self._queue or self._active():
             self._admit()

@@ -648,6 +648,48 @@ def _flash_mha_bwd(causal, block_q, block_k, interpret, res, g):
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 
 
+# Round-1 backward semantics, kept selectable (LLARK_TPU_FLASH_BWD=recompute)
+# so the fused-backward win can be A/B-measured at the FULL-train-step level
+# (scripts/bench/bench_train_step.py) — not a production path.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_mha_recompute(q, k, v, causal, block_q, block_k, interpret,
+                         kv_lengths, slopes):
+    return flash_attention_fwd(
+        q, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+
+
+def _flash_mha_rc_fwd(q, k, v, causal, block_q, block_k, interpret,
+                      kv_lengths, slopes):
+    out = flash_attention_fwd(
+        q, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return out, (q, k, v, kv_lengths, slopes)
+
+
+def _flash_mha_rc_bwd(causal, block_q, block_k, interpret, res, g):
+    q, k, v, kv_lengths, slopes = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: xla_attention(
+            q_, k_, v_, causal=causal, kv_lengths=kv_lengths, slopes=slopes
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    kvl_ct = (
+        np.zeros(kv_lengths.shape, dtype=jax.dtypes.float0)
+        if kv_lengths is not None
+        else None
+    )
+    sl_ct = jnp.zeros_like(slopes) if slopes is not None else None
+    return dq, dk, dv, kvl_ct, sl_ct
+
+
+_flash_mha_recompute.defvjp(_flash_mha_rc_fwd, _flash_mha_rc_bwd)
+
+
 def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -679,6 +721,13 @@ def multihead_attention(
             sq % bq == 0 and sk % bk == 0 and q.shape[3] % 128 == 0
             and bq % 8 == 0 and bk % 8 == 0
         ):
+            import os
+
+            if os.environ.get("LLARK_TPU_FLASH_BWD") == "recompute":
+                # bench-only A/B hook: round-1 backward (XLA recompute)
+                return _flash_mha_recompute(
+                    q, k, v, causal, bq, bk, interpret, kv_lengths, slopes
+                )
             return _flash_mha(q, k, v, causal, bq, bk, interpret, kv_lengths, slopes)
     return xla_attention(
         q, k, v, causal=causal, kv_lengths=kv_lengths, slopes=slopes,

@@ -1,0 +1,127 @@
+"""Prefix caching: the shared conversation-header KV is computed once and
+admission prefills only per-request suffixes (reference context: every
+LLark prompt opens with the fixed conv_v1_2 header,
+m2t/llava/conversation.py:237-271). With full-precision caches the result
+must be token-identical to full prefill."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from llark_tpu.config import ModelConfig
+from llark_tpu.generate import GenerationConfig
+from llark_tpu.infer import _common_prompt_prefix
+from llark_tpu.inference.server import BatchedServer, Request
+from llark_tpu.models.fusion import init_llark_params
+from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(7)
+    header = rng.randint(4, 40, 12).astype(np.int32)
+    header[0] = bundle.tokenizer.bos_token_id
+    reqs = []
+    for i, L in enumerate([5, 9, 7, 6, 11, 4]):
+        suffix = rng.randint(4, 40, L).astype(np.int32)
+        ids = np.concatenate([header, suffix])
+        audio = rng.randn(3, 8).astype(np.float32) if i % 2 == 0 else None
+        reqs.append((ids, audio))
+    return bundle, cfg, params, header, reqs
+
+
+def _serve(bundle, cfg, params, reqs, max_new, **kw):
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16, 32),
+        max_audio_frames=4, tokenizer=bundle.tokenizer, **kw,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    return [r.tokens for r in out], server
+
+
+def test_prefix_server_matches_full_prefill(setup):
+    """6 requests (shared 12-token header + ragged suffixes, some with
+    audio) through 2 slots: prefix-cached admission produces exactly the
+    tokens of full-prompt admission (float32 cache => bit-identical)."""
+    bundle, cfg, params, header, reqs = setup
+    ref, _ = _serve(bundle, cfg, params, reqs, max_new=6)
+    got, server = _serve(
+        bundle, cfg, params, reqs, max_new=6, shared_prefix_ids=header
+    )
+    assert server._prefix_len == len(header)
+    assert server._prefix_cache is not None  # the one-time prefill ran
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r == g, f"request {i}: {r} != {g}"
+
+
+def test_prefix_server_rejects_bad_prompt(setup):
+    bundle, cfg, params, header, reqs = setup
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=4, temperature=0.0, stop_text="",
+                         decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16, 32),
+        max_audio_frames=4, tokenizer=bundle.tokenizer,
+        shared_prefix_ids=header,
+    )
+    bad = np.arange(4, 24).astype(np.int32)  # does not start with header
+    with pytest.raises(ValueError, match="shared prefix"):
+        server.serve([Request(bad)])
+    # engine-style path (queue directly): fails the request, not the batch
+    good = Request(reqs[1][0], reqs[1][1])
+    server._queue.extend([Request(bad), good])
+    while server._queue or server._active():
+        server._admit()
+        server._decode_round()
+    assert server._queue == [] and good.done and good.error is None
+    assert len(good.tokens) == 4
+
+
+def test_prefix_config_guards(setup):
+    bundle, cfg, params, header, _ = setup
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        BatchedServer(cfg, params, bundle.audio_patch_id,
+                      shared_prefix_ids=header, prefill_chunk=8)
+    with pytest.raises(ValueError, match="text-only"):
+        BatchedServer(
+            cfg, params, bundle.audio_patch_id,
+            shared_prefix_ids=np.array([3, bundle.audio_patch_id], np.int32),
+        )
+
+
+def test_common_prompt_prefix_helper():
+    ap = 99
+    a = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11], np.int32)
+    b = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12], np.int32)
+    lcp = _common_prompt_prefix([a, b], ap, min_len=4)
+    assert lcp.tolist() == a[:10].tolist()
+    # audio tokens end the shared prefix (they belong to suffixes)
+    c = np.array([1, 2, 3, 4, ap, 6, 7, 8, 9, 10, 11], np.int32)
+    assert _common_prompt_prefix([c, c.copy()], ap, min_len=4).tolist() == [1, 2, 3, 4]
+    # every request must keep >= 1 suffix token
+    d = a[:6]
+    assert _common_prompt_prefix([a, d], ap, min_len=4).tolist() == a[:5].tolist()
+    # below min_len -> disabled
+    assert _common_prompt_prefix([a, np.array([1, 9, 9], np.int32)], ap) is None
+
+
+def test_prefix_with_speculative_draft(setup):
+    """Prefix caching composes with draft-model speculative serving (the
+    draft cache is prefix-seeded too); tokens match plain serving."""
+    bundle, cfg, params, header, reqs = setup
+    ref, _ = _serve(bundle, cfg, params, reqs[:3], max_new=6)
+    got, _ = _serve(
+        bundle, cfg, params, reqs[:3], max_new=6,
+        shared_prefix_ids=header,
+        draft_cfg=cfg, draft_params=params, gamma=2, spec_rounds=1,
+    )
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r == g, f"request {i}: {r} != {g}"
