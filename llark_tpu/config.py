@@ -72,6 +72,13 @@ class ModelConfig:
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_dropout: float = 0.0
+    # Mixture-of-Experts (0 = dense MLP). GShard/Switch-style top-k
+    # routing with static capacity; expert weights stack [L, E, ...] and
+    # shard over the "expert" mesh axis (EP) — llark_tpu/models/moe.py.
+    moe_num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_weight: float = 0.01
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -139,6 +146,11 @@ class ModelArguments:
     pretrain_mm_mlp_adapter: Optional[str] = None
     mm_use_audio_start_end: bool = True
     mm_hidden_size: int = 4800
+    # MoE (beyond reference; llark_tpu/models/moe.py): >0 swaps the dense
+    # MLP for top-k routed experts sharded over the "expert" mesh axis
+    moe_num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
 
 @dataclasses.dataclass

@@ -128,11 +128,16 @@ def init_decoder_params(cfg: ModelConfig, key: jax.Array) -> Params:
         "wk": dense(keys[1], (L, h, nkv * hd), h),
         "wv": dense(keys[2], (L, h, nkv * hd), h),
         "wo": dense(keys[3], (L, nh * hd, h), nh * hd),
-        "w_up": dense(keys[4], (L, h, i), h),
-        "w_down": dense(keys[5], (L, i, h), i),
     }
-    if cfg.mlp_activation == "silu":
-        layers["w_gate"] = dense(keys[6], (L, h, i), h)
+    if cfg.moe_num_experts > 0:
+        from llark_tpu.models.moe import init_moe_layer_params
+
+        layers.update(init_moe_layer_params(cfg, keys[9:13], dense))
+    else:
+        layers["w_up"] = dense(keys[4], (L, h, i), h)
+        layers["w_down"] = dense(keys[5], (L, i, h), i)
+        if cfg.mlp_activation == "silu":
+            layers["w_gate"] = dense(keys[6], (L, h, i), h)
     if cfg.norm_type == "layernorm":
         layers["attn_norm_bias"] = jnp.zeros((L, h), pdt)
         layers["mlp_norm_bias"] = jnp.zeros((L, h), pdt)
@@ -141,10 +146,11 @@ def init_decoder_params(cfg: ModelConfig, key: jax.Array) -> Params:
         layers["bk"] = jnp.zeros((L, nkv * hd), pdt)
         layers["bv"] = jnp.zeros((L, nkv * hd), pdt)
         layers["bo"] = jnp.zeros((L, h), pdt)
-        layers["b_up"] = jnp.zeros((L, i), pdt)
-        layers["b_down"] = jnp.zeros((L, h), pdt)
-        if cfg.mlp_activation == "silu":
-            layers["b_gate"] = jnp.zeros((L, i), pdt)
+        if cfg.moe_num_experts == 0:
+            layers["b_up"] = jnp.zeros((L, i), pdt)
+            layers["b_down"] = jnp.zeros((L, h), pdt)
+            if cfg.mlp_activation == "silu":
+                layers["b_gate"] = jnp.zeros((L, i), pdt)
 
     params: Params = {
         "embed": (jax.random.normal(keys[7], (cfg.vocab_size, h), jnp.float32) * 0.02).astype(pdt),
@@ -376,15 +382,21 @@ def _layer_forward(
     x = x + attn_out
 
     y = _norm(cfg, x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"))
-    if cfg.mlp_activation == "silu":
+    moe_aux = jnp.float32(0.0)
+    if cfg.moe_num_experts > 0:
+        from llark_tpu.models.moe import moe_ffn
+
+        mlp_out, moe_aux = moe_ffn(cfg, lp, y)
+    elif cfg.mlp_activation == "silu":
         gate = _lora_dense(cfg, lp, "w_gate", y, dtype, dropout_rng)
         up = _lora_dense(cfg, lp, "w_up", y, dtype, dropout_rng)
         z = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up
+        mlp_out = _lora_dense(cfg, lp, "w_down", z, dtype, dropout_rng)
     else:
         up = _lora_dense(cfg, lp, "w_up", y, dtype, dropout_rng)
         z = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(dtype)
-    mlp_out = _lora_dense(cfg, lp, "w_down", z, dtype, dropout_rng)
-    return x + mlp_out, new_k_cache, new_v_cache, new_ks, new_vs
+        mlp_out = _lora_dense(cfg, lp, "w_down", z, dtype, dropout_rng)
+    return x + mlp_out, new_k_cache, new_v_cache, new_ks, new_vs, moe_aux
 
 
 # ---------------------------------------------------------------------------
@@ -451,7 +463,7 @@ def decoder_forward(
             else:
                 lp, kc, vc = xs
                 ks = vs = None
-            out, nk, nv, nks, nvs = _layer_forward(
+            out, nk, nv, nks, nvs, _aux = _layer_forward(
                 cfg, lp, xh, positions, seq_lengths, slopes, kc, vc,
                 cache_index, cache_positions, rng,
                 prefill_from_empty=prefill_from_empty,
@@ -459,11 +471,11 @@ def decoder_forward(
             )
             return out, ((nk, nv, nks, nvs) if quant_cache else (nk, nv))
         lp = xs
-        out, _, _, _, _ = _layer_forward(
+        out, _, _, _, _, aux = _layer_forward(
             cfg, lp, xh, positions, seq_lengths, slopes, None, None, None, None,
             rng, prefix_lengths,
         )
-        return out, None
+        return out, aux
 
     if cfg.remat:
         body = jax.checkpoint(body, prevent_cse=False)
@@ -489,7 +501,7 @@ def decoder_forward(
         for l in range(cfg.num_layers):
             lp = jax.tree.map(lambda a: a[l], params["layers"])
             rng_l = layer_rngs[l] if layer_rngs is not None else None
-            x, nk, nv, nks, nvs = _layer_forward(
+            x, nk, nv, nks, nvs, _aux = _layer_forward(
                 cfg, lp, x, positions, seq_lengths, slopes, Lk[l], Lv[l],
                 cache_index, cache_positions, rng_l,
                 prefill_from_empty=prefill_from_empty,
@@ -529,8 +541,13 @@ def decoder_forward(
             new_cache = {"k": new_k, "v": new_v, "index": kv_cache["index"] + s}
     else:
         xs = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
-        x, _ = jax.lax.scan(body, x, xs)
-        new_cache = None
+        x, aux = jax.lax.scan(body, x, xs)
+        # MoE: surface the summed load-balancing loss to the train step via
+        # the (otherwise-None) cache slot — callers that ignore it are
+        # unaffected; make_train_step adds moe_aux_loss_weight × this.
+        new_cache = (
+            {"moe_aux_loss": jnp.sum(aux)} if cfg.moe_num_experts > 0 else None
+        )
 
     x = _norm(
         cfg, x, params["final_norm_scale"], params.get("final_norm_bias")

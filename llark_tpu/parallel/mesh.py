@@ -35,6 +35,7 @@ class MeshAxes:
     data: str = "data"
     fsdp: str = "fsdp"
     tensor: str = "tensor"
+    expert: str = "expert"  # EP: MoE expert dim (llark_tpu/models/moe.py)
 
     @property
     def batch(self) -> Tuple[str, str]:
@@ -45,10 +46,11 @@ AXES = MeshAxes()
 
 
 def make_mesh(
-    shape: Tuple[int, int, int] = None,
+    shape: Tuple[int, ...] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a ("data", "fsdp", "tensor") mesh.
+    """Create a ("data", "fsdp", "tensor") mesh — or, with a 4-length
+    shape, ("data", "fsdp", "tensor", "expert") for MoE/EP runs.
 
     Default: all devices on the fsdp axis (pure ZeRO-3-style sharding),
     which is the right single-slice default for 7B training.
@@ -57,10 +59,13 @@ def make_mesh(
     n = len(devices)
     if shape is None:
         shape = (1, n, 1)
+    if len(shape) not in (3, 4):
+        raise ValueError(f"mesh shape must have 3 or 4 axes, got {shape}")
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} does not match {n} devices")
     dev_array = np.asarray(devices).reshape(shape)
-    return Mesh(dev_array, (AXES.data, AXES.fsdp, AXES.tensor))
+    names = (AXES.data, AXES.fsdp, AXES.tensor, AXES.expert)[: len(shape)]
+    return Mesh(dev_array, names)
 
 
 def _layer_specs(cfg: ModelConfig) -> Dict[str, P]:
@@ -80,6 +85,17 @@ def _layer_specs(cfg: ModelConfig) -> Dict[str, P]:
     }
     if cfg.mlp_activation == "silu":
         specs["w_gate"] = P(None, f, t)
+    if cfg.moe_num_experts > 0:
+        # EP: expert dim over "expert" (requires a 4-axis mesh); the dense
+        # MLP weights above are absent from MoE param trees, and vice versa
+        e = AXES.expert
+        del specs["w_up"], specs["w_down"]
+        specs.pop("w_gate", None)
+        specs["moe_router"] = P(None, f, None)
+        specs["moe_w_up"] = P(None, e, f, t)
+        specs["moe_w_down"] = P(None, e, t, f)
+        if cfg.mlp_activation == "silu":
+            specs["moe_w_gate"] = P(None, e, f, t)
     if cfg.norm_type == "layernorm":
         specs["attn_norm_bias"] = P(None, None)
         specs["mlp_norm_bias"] = P(None, None)
@@ -89,11 +105,12 @@ def _layer_specs(cfg: ModelConfig) -> Dict[str, P]:
             bk=P(None, t),
             bv=P(None, t),
             bo=P(None, f),
-            b_up=P(None, t),
-            b_down=P(None, f),
         )
-        if cfg.mlp_activation == "silu":
-            specs["b_gate"] = P(None, t)
+        if cfg.moe_num_experts == 0:
+            specs["b_up"] = P(None, t)
+            specs["b_down"] = P(None, f)
+            if cfg.mlp_activation == "silu":
+                specs["b_gate"] = P(None, t)
     if cfg.lora_rank > 0:
         from llark_tpu.models.lora import lora_layer_specs
 

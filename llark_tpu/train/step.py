@@ -189,7 +189,7 @@ def make_train_step(
     """
 
     def loss_fn(params, micro, rng):
-        out, _ = llark_forward(
+        out, extras = llark_forward(
             cfg,
             params,
             micro["input_ids"],
@@ -210,6 +210,8 @@ def make_train_step(
             )
         else:
             loss, n_tok = causal_lm_loss(out, micro["labels"])
+        if cfg.moe_num_experts > 0 and isinstance(extras, dict):
+            loss = loss + cfg.moe_aux_loss_weight * extras["moe_aux_loss"]
         return loss, n_tok
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

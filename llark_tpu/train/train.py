@@ -58,12 +58,24 @@ def model_config_from_name(name: str, model_args: ModelArguments, training_args=
     """Select architecture by model name (reference: m2t/train.py:62-75).
     A local directory with a config.json takes its dims from that file."""
     kw: Dict[str, Any] = {"mm_hidden_size": model_args.mm_hidden_size}
+    if getattr(model_args, "moe_num_experts", 0):
+        kw.update(
+            moe_num_experts=model_args.moe_num_experts,
+            moe_top_k=model_args.moe_top_k,
+            moe_capacity_factor=model_args.moe_capacity_factor,
+        )
     cfg_path = os.path.join(name, "config.json")
     if os.path.isdir(name) and os.path.exists(cfg_path):
         import json
 
         with open(cfg_path) as f:
             hf = json.load(f)
+        # Mixtral-style MoE dims from the checkpoint config
+        if hf.get("num_local_experts") and "moe_num_experts" not in kw:
+            kw.update(
+                moe_num_experts=hf["num_local_experts"],
+                moe_top_k=hf.get("num_experts_per_tok", 2),
+            )
         if hf.get("model_type") == "mpt":
             return ModelConfig.mpt_1b(
                 vocab_size=hf.get("vocab_size", 50368),
