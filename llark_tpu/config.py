@@ -83,6 +83,13 @@ class ModelConfig:
     def __post_init__(self):
         if self.head_dim is None:
             self.head_dim = self.hidden_size // self.num_heads
+        if self.moe_num_experts > 0 and self.moe_top_k > self.moe_num_experts:
+            # with all experts masked, argmax over the zero row would
+            # silently re-dispatch every token to expert 0 (moe_ffn)
+            raise ValueError(
+                f"moe_top_k={self.moe_top_k} must be <= "
+                f"moe_num_experts={self.moe_num_experts}"
+            )
 
     @classmethod
     def llama2_7b(cls, **kw) -> "ModelConfig":

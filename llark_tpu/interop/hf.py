@@ -104,10 +104,36 @@ def llama_params_from_hf(
         "wk": cast(_stack(sd, "model.layers.{i}.self_attn.k_proj.weight", L, transpose=True)),
         "wv": cast(_stack(sd, "model.layers.{i}.self_attn.v_proj.weight", L, transpose=True)),
         "wo": cast(_stack(sd, "model.layers.{i}.self_attn.o_proj.weight", L, transpose=True)),
-        "w_gate": cast(_stack(sd, "model.layers.{i}.mlp.gate_proj.weight", L, transpose=True)),
-        "w_up": cast(_stack(sd, "model.layers.{i}.mlp.up_proj.weight", L, transpose=True)),
-        "w_down": cast(_stack(sd, "model.layers.{i}.mlp.down_proj.weight", L, transpose=True)),
     }
+    if "model.layers.0.block_sparse_moe.gate.weight" in sd:
+        # Mixtral-style MoE: gate [E, H] -> router [L, H, E]; per-expert
+        # w1 (gate), w3 (up), w2 (down) -> stacked [L, E, in, out]
+        # (matches init_moe_layer_params, llark_tpu/models/moe.py)
+        E = sd["model.layers.0.block_sparse_moe.gate.weight"].shape[0]
+        if cfg.moe_num_experts and cfg.moe_num_experts != E:
+            raise ValueError(
+                f"checkpoint has {E} experts, cfg.moe_num_experts={cfg.moe_num_experts}"
+            )
+
+        def stack_experts(w_name: str) -> np.ndarray:
+            return np.ascontiguousarray(np.stack([
+                np.stack([
+                    sd[f"model.layers.{i}.block_sparse_moe.experts.{e}.{w_name}.weight"].T
+                    for e in range(E)
+                ], axis=0)
+                for i in range(L)
+            ], axis=0))
+
+        layers["moe_router"] = cast(
+            _stack(sd, "model.layers.{i}.block_sparse_moe.gate.weight", L, transpose=True)
+        )
+        layers["moe_w_gate"] = cast(stack_experts("w1"))
+        layers["moe_w_down"] = cast(stack_experts("w2"))
+        layers["moe_w_up"] = cast(stack_experts("w3"))
+    else:
+        layers["w_gate"] = cast(_stack(sd, "model.layers.{i}.mlp.gate_proj.weight", L, transpose=True))
+        layers["w_up"] = cast(_stack(sd, "model.layers.{i}.mlp.up_proj.weight", L, transpose=True))
+        layers["w_down"] = cast(_stack(sd, "model.layers.{i}.mlp.down_proj.weight", L, transpose=True))
     params: Params = {
         "embed": cast(sd["model.embed_tokens.weight"]),
         "layers": layers,
@@ -241,9 +267,22 @@ def hf_state_dict_from_params(
         unstack("wk", layers["wk"], "model.layers.{i}.self_attn.k_proj.weight", True)
         unstack("wv", layers["wv"], "model.layers.{i}.self_attn.v_proj.weight", True)
         unstack("wo", layers["wo"], "model.layers.{i}.self_attn.o_proj.weight", True)
-        unstack("w_gate", layers["w_gate"], "model.layers.{i}.mlp.gate_proj.weight", True)
-        unstack("w_up", layers["w_up"], "model.layers.{i}.mlp.up_proj.weight", True)
-        unstack("w_down", layers["w_down"], "model.layers.{i}.mlp.down_proj.weight", True)
+        if "moe_router" in layers:
+            # inverse of the Mixtral import in llama_params_from_hf
+            unstack("moe_router", layers["moe_router"],
+                    "model.layers.{i}.block_sparse_moe.gate.weight", True)
+            for ours, theirs in (("moe_w_gate", "w1"), ("moe_w_down", "w2"),
+                                 ("moe_w_up", "w3")):
+                a = np.asarray(layers[ours], np.float32)  # [L, E, in, out]
+                for i in range(L):
+                    for e in range(a.shape[1]):
+                        sd[
+                            f"model.layers.{i}.block_sparse_moe.experts.{e}.{theirs}.weight"
+                        ] = np.ascontiguousarray(a[i, e].T)
+        else:
+            unstack("w_gate", layers["w_gate"], "model.layers.{i}.mlp.gate_proj.weight", True)
+            unstack("w_up", layers["w_up"], "model.layers.{i}.mlp.up_proj.weight", True)
+            unstack("w_down", layers["w_down"], "model.layers.{i}.mlp.down_proj.weight", True)
         unstack("attn_norm_scale", layers["attn_norm_scale"], "model.layers.{i}.input_layernorm.weight")
         unstack("mlp_norm_scale", layers["mlp_norm_scale"], "model.layers.{i}.post_attention_layernorm.weight")
         sd["model.norm.weight"] = np.asarray(params["final_norm_scale"], np.float32)
@@ -296,6 +335,9 @@ def save_hf_checkpoint(path: str, cfg: ModelConfig, params: Params) -> str:
             "vocab_size": cfg.vocab_size,
             "mm_hidden_size": cfg.mm_hidden_size,
         }
+        if cfg.moe_num_experts:
+            config["num_local_experts"] = cfg.moe_num_experts
+            config["num_experts_per_tok"] = cfg.moe_top_k
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(config, f, indent=2)
     return path

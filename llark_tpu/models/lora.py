@@ -46,6 +46,14 @@ def init_lora_params(cfg: ModelConfig, key: jax.Array, params: Params) -> Params
     from the base model exactly."""
     if cfg.lora_rank <= 0:
         raise ValueError("cfg.lora_rank must be > 0 to add LoRA params")
+    if cfg.moe_num_experts > 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "MoE model: LoRA factors are added to the attention projections "
+            "only — the expert FFN stacks (moe_w_*) are not LoRA targets "
+            "and stay frozen under a frozen-base run"
+        )
     pdt = jnp.dtype(cfg.param_dtype)
     r = cfg.lora_rank
     layers = dict(params["layers"])

@@ -123,15 +123,43 @@ def moe_ffn(
     # dispatch → expert-major [E,B,C,h]: with E sharded over "expert" this
     # einsum IS the all-to-all
     ein = jnp.einsum("bsec,bsh->ebch", dispatch.astype(dtype), y)
-    wu = lp["moe_w_up"].astype(dtype)
-    wd = lp["moe_w_down"].astype(dtype)
-    if "moe_w_gate" in lp and lp["moe_w_gate"] is not None:
-        g = jnp.einsum("ebch,ehi->ebci", ein, lp["moe_w_gate"].astype(dtype))
-        u = jnp.einsum("ebch,ehi->ebci", ein, wu)
-        z = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
-    else:
-        u = jnp.einsum("ebch,ehi->ebci", ein, wu)
-        z = jax.nn.gelu(u.astype(jnp.float32), approximate=True).astype(dtype)
-    eout = jnp.einsum("ebci,eih->ebch", z, wd)
+    eout = expert_mlp(cfg, lp, ein, dtype)
     out = jnp.einsum("bsec,ebch->bsh", combine.astype(dtype), eout)
     return out, aux
+
+
+def _expert_dense(x: jnp.ndarray, w: Any, dtype) -> jnp.ndarray:
+    """x [E, B, C, in] @ w [E, in, out] -> [E, B, C, out], where w may be
+    a raw array or a quantized dict (models/quant.py). For int8 the
+    per-output-channel scale commutes out of the contraction exactly as in
+    quantized_dense; int4 is a storage format and dequantizes first."""
+    from llark_tpu.models.quant import (
+        dequantize_weight_int4,
+        dequantize_weight_int4_cols,
+        is_quantized,
+        is_quantized_int4,
+    )
+
+    if is_quantized_int4(w):
+        w = (dequantize_weight_int4_cols(w, dtype) if "q4c" in w
+             else dequantize_weight_int4(w, dtype))
+    if is_quantized(w):
+        yq = jnp.einsum(
+            "ebch,ehi->ebci", x, w["q"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        scale = w["scale"]  # [E, 1, out]
+        return (yq * scale[:, None, :, :].astype(jnp.float32)).astype(dtype)
+    return jnp.einsum("ebch,ehi->ebci", x, w.astype(dtype))
+
+
+def expert_mlp(cfg: ModelConfig, lp: Params, ein: jnp.ndarray, dtype) -> jnp.ndarray:
+    """The per-expert FFN on dispatched tokens ein [E, B, C, h]."""
+    if "moe_w_gate" in lp and lp["moe_w_gate"] is not None:
+        g = _expert_dense(ein, lp["moe_w_gate"], dtype)
+        u = _expert_dense(ein, lp["moe_w_up"], dtype)
+        z = jax.nn.silu(g.astype(jnp.float32)).astype(dtype) * u
+    else:
+        u = _expert_dense(ein, lp["moe_w_up"], dtype)
+        z = jax.nn.gelu(u.astype(jnp.float32), approximate=True).astype(dtype)
+    return _expert_dense(z, lp["moe_w_down"], dtype)

@@ -29,8 +29,13 @@ from llark_tpu.config import ModelConfig
 
 Params = Dict[str, Any]
 
-# weights worth quantizing: the large 2D projections
-QUANT_TARGETS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+# weights worth quantizing: the large 2D projections; for MoE models the
+# expert FFN stacks [L, E, in, out] are the bulk of the params and are
+# quantized too (the router stays fp32 — tiny, and routing is fp32 math)
+QUANT_TARGETS = (
+    "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+    "moe_w_gate", "moe_w_up", "moe_w_down",
+)
 
 
 def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -246,10 +251,11 @@ def quantize_params_int4_incremental(
         return quantize_weight_int4(w, group)
 
     def q_any(w):
-        # stacked [L, ...] leaves: serialize over layers so the f32
-        # quantization intermediates are 1/L-sized (a 7B stacked MLP leaf
-        # is 5.8 GB in f32 — quantizing it in one shot OOMs a 16 GB chip)
-        if w.ndim == 3:
+        # stacked [L, ...] leaves (incl. [L, E, in, out] MoE experts):
+        # serialize over layers so the f32 quantization intermediates are
+        # 1/L-sized (a 7B stacked MLP leaf is 5.8 GB in f32 — quantizing
+        # it in one shot OOMs a 16 GB chip)
+        if w.ndim >= 3:
             return jax.lax.map(q_one, w)
         return q_one(w)
 

@@ -228,9 +228,15 @@ def train(
     if cfg.vocab_size < len(bundle.tokenizer):
         cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
 
-    mesh = make_mesh(tuple(training_args.mesh_shape)) if np.prod(
-        training_args.mesh_shape
-    ) > 1 else make_mesh((1, len(jax.devices()), 1))
+    mesh_shape = tuple(training_args.mesh_shape)
+    if int(np.prod(mesh_shape)) <= 1:
+        mesh_shape = (1, len(jax.devices()), 1)
+    if cfg.moe_num_experts > 0 and len(mesh_shape) == 3:
+        # MoE partition specs reference the "expert" axis; a 3-value
+        # --mesh_shape gets a trailing expert axis of 1 (EP off, experts
+        # replicated). Pass 4 values to actually shard experts.
+        mesh_shape = mesh_shape + (1,)
+    mesh = make_mesh(mesh_shape)
 
     params = init_llark_params(cfg, jax.random.PRNGKey(training_args.seed))
     if os.path.isdir(model_args.model_name_or_path):
