@@ -35,8 +35,8 @@ def _stft_mag(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
 
 def onset_envelope(
     x: np.ndarray, sr: int, fps: int = 100, n_fft: int = 2048, n_mels: int = 80,
-    low_weight: float = 2.0,
-) -> np.ndarray:
+    low_weight: float = 2.0, return_low: bool = False,
+):
     """Log-mel spectral-flux onset strength at `fps` frames/second.
 
     `low_weight` adds a separately-computed low-band (<200 Hz) flux term:
@@ -54,17 +54,28 @@ def onset_envelope(
     logmel = np.log1p(1000.0 * mel)
     flux = np.diff(logmel, axis=0, prepend=logmel[:1])
     env = np.maximum(flux, 0.0).mean(axis=1)
-    if low_weight > 0.0:
+    lowflux = None
+    if low_weight > 0.0 or return_low:
         freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
         lowsel = freqs < 200.0
-        lowmag = np.log1p(1000.0 * (mag[:, lowsel] ** 2).sum(axis=1))
-        lowflux = np.maximum(np.diff(lowmag, prepend=lowmag[:1]), 0.0)
-        env = env + low_weight * lowflux
+        # LINEAR low-band energy flux (not log): bar-accent level differences
+        # survive, where log compression flattens a 2x kick accent to ~0.1
+        # env units (downbeat scoring needs the contrast; see return_low)
+        lowe = (mag[:, lowsel] ** 2).sum(axis=1)
+        lowflux = np.maximum(np.diff(lowe, prepend=lowe[:1]), 0.0)
+        lowflux = lowflux / max(lowflux.max(), 1e-12)
+        if low_weight > 0.0:
+            lowmag = np.log1p(1000.0 * lowe)
+            lflux = np.maximum(np.diff(lowmag, prepend=lowmag[:1]), 0.0)
+            env = env + low_weight * lflux
     # local mean removal for sharper peaks
     k = max(1, fps // 10)
     kernel = np.ones(2 * k + 1) / (2 * k + 1)
     local = np.convolve(env, kernel, mode="same")
-    return np.maximum(env - 0.7 * local, 0.0)
+    env = np.maximum(env - 0.7 * local, 0.0)
+    if return_low:
+        return env, lowflux
+    return env
 
 
 def estimate_tempo(
@@ -131,15 +142,81 @@ def track_beats(
     return beats / fps
 
 
+def hpss_harmonic(x: np.ndarray, sr: int, n_fft: int = 2048, hop: int = 512,
+                  k_time: int = 8, k_freq: int = 8) -> np.ndarray:
+    """Harmonic component of x via median-filtering HPSS (Fitzgerald 2010,
+    the librosa.effects.harmonic algorithm): soft-mask the STFT by
+    comparing a time-axis median (sustained partials = horizontal ridges)
+    against a frequency-axis median (percussive hits = vertical ridges),
+    then overlap-add resynthesize with the original phase.
+
+    Run at a FINE time resolution (93 ms window / 23 ms hop) so drum hits
+    are vertical events the mask can remove — at the chroma analysis
+    resolution (371 ms windows) a kick smears across whole inter-beat
+    intervals and no time-domain filter can see it. The kick's 120->45 Hz
+    sweep otherwise injects a stable B/C/D chroma signature that dominates
+    whole clips when the tonal parts are weak (held-out pluck family:
+    chord recall 0.25 -> 0.84 with HPSS)."""
+    x = np.asarray(x, np.float32)
+    pad = n_fft // 2
+    xp = np.pad(x, (pad, pad), mode="reflect" if len(x) > pad else "constant")
+    n_frames = 1 + (len(xp) - n_fft) // hop
+    win = hann_window(n_fft).astype(np.float32)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    spec = np.fft.rfft(xp[idx] * win, axis=-1)
+    mag = np.abs(spec).astype(np.float32)
+    padt = np.pad(mag, ((k_time, k_time), (0, 0)), mode="edge")
+    harm = np.median(
+        np.stack([padt[i:i + mag.shape[0]] for i in range(2 * k_time + 1)]),
+        axis=0,
+    )
+    padf = np.pad(mag, ((0, 0), (k_freq, k_freq)), mode="edge")
+    perc = np.median(
+        np.stack([padf[:, i:i + mag.shape[1]] for i in range(2 * k_freq + 1)]),
+        axis=0,
+    )
+    mask = (harm ** 2) / (harm ** 2 + perc ** 2 + 1e-12)
+    fh = np.fft.irfft(spec * mask, n=n_fft, axis=-1).astype(np.float32) * win
+    out = np.zeros(len(xp), np.float32)
+    wsum = np.zeros(len(xp), np.float32)
+    for i in range(n_frames):
+        out[i * hop:i * hop + n_fft] += fh[i]
+        wsum[i * hop:i * hop + n_fft] += win ** 2
+    out = out / np.maximum(wsum, 1e-9)
+    return out[pad:pad + len(x)]
+
+
 def chroma_from_audio(
     x: np.ndarray, sr: int, fps: float = 10.0, n_fft: int = 8192,
-    return_energy: bool = False,
+    return_energy: bool = False, harmonic_median: int = 2,
+    hpss: bool = True,
 ):
     """Pitch-class energy [frames, 12] at `fps`, max-normalized per frame.
     With return_energy, also returns the PRE-normalization per-frame energy
-    [frames] (the normalized rows carry no loudness information)."""
+    [frames] (the normalized rows carry no loudness information).
+
+    `harmonic_median` > 0 median-filters the magnitude spectrogram over a
+    +-k frame window along TIME before squaring — the harmonic half of
+    HPSS: sustained partials (horizontal ridges) survive the median,
+    broadband attack transients (vertical events) are suppressed. Plucked/
+    percussive timbres otherwise flood the chroma with attack noise
+    (held-out pluck family: near-flat chroma on fast clips).
+
+    `hpss` additionally runs the input through `hpss_harmonic` first —
+    drum suppression at a time resolution this analysis window cannot
+    reach (see hpss_harmonic docstring)."""
+    if hpss:
+        x = hpss_harmonic(np.asarray(x, np.float32), sr)
     hop = int(round(sr / fps))
-    mag = _stft_mag(x, n_fft, hop) ** 2
+    mag = _stft_mag(x, n_fft, hop)
+    if harmonic_median > 0 and mag.shape[0] > 1:
+        k = harmonic_median
+        pad = np.pad(mag, ((k, k), (0, 0)), mode="edge")
+        mag = np.median(
+            np.stack([pad[i:i + mag.shape[0]] for i in range(2 * k + 1)]),
+            axis=0,
+        )
+    mag = mag ** 2
     freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
     out = np.zeros((mag.shape[0], 12), np.float32)
     valid = (freqs > 55.0) & (freqs < 5000.0)

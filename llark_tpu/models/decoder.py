@@ -382,7 +382,7 @@ def _layer_forward(
     x = x + attn_out
 
     y = _norm(cfg, x, lp["mlp_norm_scale"], lp.get("mlp_norm_bias"))
-    moe_aux = jnp.float32(0.0)
+    moe_aux = jnp.float32(0.0)  # MoE: a {aux_loss, dropped_frac} dict
     if cfg.moe_num_experts > 0:
         from llark_tpu.models.moe import moe_ffn
 
@@ -542,11 +542,17 @@ def decoder_forward(
     else:
         xs = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
         x, aux = jax.lax.scan(body, x, xs)
-        # MoE: surface the summed load-balancing loss to the train step via
-        # the (otherwise-None) cache slot — callers that ignore it are
-        # unaffected; make_train_step adds moe_aux_loss_weight × this.
+        # MoE: surface the summed load-balancing loss + mean dropped-token
+        # fraction to the train step via the (otherwise-None) cache slot —
+        # callers that ignore it are unaffected; make_train_step adds
+        # moe_aux_loss_weight × the loss and logs both as step metrics.
         new_cache = (
-            {"moe_aux_loss": jnp.sum(aux)} if cfg.moe_num_experts > 0 else None
+            {
+                "moe_aux_loss": jnp.sum(aux["aux_loss"]),
+                "moe_dropped_frac": jnp.mean(aux["dropped_frac"]),
+            }
+            if cfg.moe_num_experts > 0
+            else None
         )
 
     x = _norm(

@@ -74,7 +74,11 @@ def moe_ffn(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """MoE feed-forward on the normed hidden states.
 
-    y: [B, S, h] (compute dtype). Returns (out [B, S, h], aux fp32 scalar).
+    y: [B, S, h] (compute dtype). Returns (out [B, S, h], metrics) where
+    metrics = {"aux_loss": Switch load-balancing loss (fp32 scalar),
+    "dropped_frac": fraction of (token, expert-choice) assignments dropped
+    past capacity (fp32 scalar)} — both surfaced per step through the
+    train-step metrics for observability (train/tracking.py).
 
     Each sequence row is its own GShard "group": capacity is per row, so
     the dispatch tensors shard over the batch axes and the expert einsums
@@ -119,13 +123,17 @@ def moe_ffn(
     f = jnp.mean(top1, axis=1)  # [B,E] top-1 token fraction
     p = jnp.mean(probs, axis=1)  # [B,E] mean router prob
     aux = e * jnp.mean(jnp.sum(f * p, axis=-1))
+    # dropped-token fraction: each of the B·S·K (token, choice) pairs
+    # contributes one dispatch entry iff it landed inside capacity
+    dropped = 1.0 - jnp.sum(dispatch) / (b * s * k)
+    metrics = {"aux_loss": aux, "dropped_frac": dropped}
 
     # dispatch → expert-major [E,B,C,h]: with E sharded over "expert" this
     # einsum IS the all-to-all
     ein = jnp.einsum("bsec,bsh->ebch", dispatch.astype(dtype), y)
     eout = expert_mlp(cfg, lp, ein, dtype)
     out = jnp.einsum("bsec,ebch->bsh", combine.astype(dtype), eout)
-    return out, aux
+    return out, metrics
 
 
 def _expert_dense(x: jnp.ndarray, w: Any, dtype) -> jnp.ndarray:

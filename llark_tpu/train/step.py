@@ -210,20 +210,26 @@ def make_train_step(
             )
         else:
             loss, n_tok = causal_lm_loss(out, micro["labels"])
+        aux_metrics = {}
         if cfg.moe_num_experts > 0 and isinstance(extras, dict):
             loss = loss + cfg.moe_aux_loss_weight * extras["moe_aux_loss"]
-        return loss, n_tok
+            # surfaced as per-step metrics (observability: tracking.py)
+            aux_metrics = {
+                "moe_aux_loss": extras["moe_aux_loss"],
+                "moe_dropped_frac": extras["moe_dropped_frac"],
+            }
+        return loss, (n_tok, aux_metrics)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     use_dropout = dropout_seed is not None and cfg.lora_dropout > 0.0
 
     def accumulate(g_fn, leaves, batch, rng):
-        """(loss, n_tok, grads) for g_fn(leaves, micro, rng), averaged over
-        grad_accum_steps micro-batches inside a lax.scan (one shared
-        implementation for the plain and partitioned paths)."""
+        """(loss, n_tok, aux_metrics, grads) for g_fn(leaves, micro, rng),
+        averaged over grad_accum_steps micro-batches inside a lax.scan (one
+        shared implementation for the plain and partitioned paths)."""
         if grad_accum_steps <= 1:
-            (loss, n_tok), grads = g_fn(leaves, batch, rng)
-            return loss, n_tok, grads
+            (loss, (n_tok, am)), grads = g_fn(leaves, batch, rng)
+            return loss, n_tok, am, grads
 
         def reshape(x):
             return x.reshape(
@@ -231,22 +237,30 @@ def make_train_step(
             )
 
         micro_batches = jax.tree.map(reshape, batch)
+        # aux-metrics structure is static: MoE surfaces two fp32 scalars
+        am_zeros = (
+            {"moe_aux_loss": jnp.float32(0.0), "moe_dropped_frac": jnp.float32(0.0)}
+            if cfg.moe_num_experts > 0
+            else {}
+        )
 
         def accum(carry, xs):
-            g_acc, loss_acc, tok_acc, i = carry
+            g_acc, loss_acc, tok_acc, am_acc, i = carry
             mrng = jax.random.fold_in(rng, i) if rng is not None else None
-            (loss, n_tok), g = g_fn(leaves, xs, mrng)
+            (loss, (n_tok, am)), g = g_fn(leaves, xs, mrng)
             g_acc = jax.tree.map(jnp.add, g_acc, g)
-            return (g_acc, loss_acc + loss, tok_acc + n_tok, i + 1), None
+            am_acc = jax.tree.map(jnp.add, am_acc, am)
+            return (g_acc, loss_acc + loss, tok_acc + n_tok, am_acc, i + 1), None
 
         zeros = jax.tree.map(jnp.zeros_like, leaves)
-        (g_sum, loss_sum, tok_sum, _), _ = jax.lax.scan(
+        (g_sum, loss_sum, tok_sum, am_sum, _), _ = jax.lax.scan(
             accum,
-            (zeros, 0.0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            (zeros, 0.0, jnp.zeros((), jnp.int32), am_zeros, jnp.zeros((), jnp.int32)),
             micro_batches,
         )
         grads = jax.tree.map(lambda g: g / grad_accum_steps, g_sum)
-        return loss_sum / grad_accum_steps, tok_sum, grads
+        am = jax.tree.map(lambda a: a / grad_accum_steps, am_sum)
+        return loss_sum / grad_accum_steps, tok_sum, am, grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng = (
@@ -256,14 +270,14 @@ def make_train_step(
         )
         if partition is not None:
             return _partitioned_step(state, batch, rng)
-        loss, n_tok, grads = accumulate(grad_fn, state.params, batch, rng)
+        loss, n_tok, am, grads = accumulate(grad_fn, state.params, batch, rng)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params, opt_state=new_opt_state, step=state.step + 1
         )
         grad_norm = optax.global_norm(grads)
-        metrics = {"loss": loss, "num_tokens": n_tok, "grad_norm": grad_norm}
+        metrics = {"loss": loss, "num_tokens": n_tok, "grad_norm": grad_norm, **am}
         return new_state, metrics
 
     def _partitioned_step(state: TrainState, batch, rng):
@@ -276,7 +290,7 @@ def make_train_step(
             return loss_fn(params, micro, mrng)
 
         part_grad = jax.value_and_grad(part_loss, has_aux=True)
-        loss, n_tok, grads = accumulate(part_grad, train_leaves, batch, rng)
+        loss, n_tok, am, grads = accumulate(part_grad, train_leaves, batch, rng)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, train_leaves)
         new_train = optax.apply_updates(train_leaves, updates)
         new_params = partition.rebuild(state.params, new_train)
@@ -287,6 +301,7 @@ def make_train_step(
             "loss": loss,
             "num_tokens": n_tok,
             "grad_norm": optax.global_norm(grads),
+            **am,
         }
         return new_state, metrics
 

@@ -521,6 +521,11 @@ def train(
                         dt,
                         float(metrics["num_tokens"]) / dt,
                     )
+                    moe_metrics = {
+                        k: float(metrics[k])
+                        for k in ("moe_aux_loss", "moe_dropped_frac")
+                        if k in metrics
+                    }
                     tracker.log(
                         step_i,
                         loss=loss,
@@ -528,6 +533,7 @@ def train(
                         learning_rate=float(schedule(step_i)),
                         step_time_s=dt,
                         tokens_per_s=float(metrics["num_tokens"]) / dt,
+                        **moe_metrics,
                     )
                 if eval_every and (step_i + 1) % eval_every == 0:
                     ev = run_eval(state.params)

@@ -63,3 +63,29 @@ def test_annotator_accuracy_floors_large():
     assert scores["beat_f"] >= 0.95
     assert scores["downbeat_f"] >= 0.95
     assert scores["chord_frame_recall"] >= 0.85
+
+
+# Held-out family floors (VERDICT r2 item 5): families the DSP was never
+# tuned on. Floors sit below the measured n=8/n=12 seed-7 scores (see
+# PERFORMANCE.md "Annotator accuracy, held-out families") by a seed-noise
+# margin. perc defines no key/chords; its floor keys are rhythm-only.
+_HELD_OUT_FLOORS = {
+    "fm": {"chord_frame_recall": 0.90, "key_mirex": 0.75, "downbeat_f": 0.90,
+           "beat_f": 0.95, "tempo_acc2": 0.90},
+    "pluck": {"chord_frame_recall": 0.70, "key_mirex": 0.60, "downbeat_f": 0.80,
+              "bpb_acc": 0.70, "beat_f": 0.95, "tempo_acc2": 0.90},
+    "perc": {"downbeat_f": 0.55, "bpb_acc": 0.60, "beat_f": 0.95,
+             "tempo_acc2": 0.90},
+    "room": {"chord_frame_recall": 0.80, "key_mirex": 0.60, "downbeat_f": 0.80,
+             "beat_f": 0.95, "tempo_acc2": 0.90},
+    "drift": {"chord_frame_recall": 0.90, "key_mirex": 0.75, "downbeat_f": 0.85,
+              "beat_f": 0.95, "tempo_acc2": 0.90},
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", sorted(_HELD_OUT_FLOORS))
+def test_held_out_family_floors(family):
+    scores = run_benchmark(n=8, seconds=10.0, seed=7, family=family)
+    for metric, floor in _HELD_OUT_FLOORS[family].items():
+        assert scores[metric] >= floor, (family, metric, scores[metric], floor)
