@@ -81,6 +81,9 @@ class BatchedServer:
         gamma: int = 4,
         spec_rounds: int = 2,
         shared_prefix_ids: Optional[np.ndarray] = None,
+        spec_mode: Optional[str] = None,
+        spec_proposer=None,
+        ngram_max_k: int = 3,
     ):
         if cfg.use_flash_decode is None:
             # serving regime: the cache is provisioned for max context and
@@ -210,6 +213,42 @@ class BatchedServer:
             )
             self._d_cache = None
             self._prev_tok = np.zeros((max_batch,), np.int32)
+
+        # draft-FREE speculation (spec_mode="ngram"): proposals come from
+        # the host (prompt-lookup by default, or any `spec_proposer(history,
+        # gamma) -> [gamma] ids` — benches inject controlled-acceptance
+        # oracles through it), verified by ONE target forward over
+        # [last, d_1..d_gamma] per round (inference/speculative.py
+        # _make_verify_fn batched with ragged positions). Unlike the fused
+        # draft path this syncs the host every round — proposals need the
+        # newly accepted tokens — so each round costs one dispatch + one
+        # transfer for up to gamma+1 tokens per slot.
+        self.spec_mode = spec_mode
+        self.spec_proposer = spec_proposer
+        self.ngram_max_k = int(ngram_max_k)
+        self.spec_accepted = 0  # host-spec acceptance counters (stats())
+        self.spec_proposed = 0
+        if spec_mode is not None:
+            if spec_mode != "ngram":
+                raise ValueError(f"unknown spec_mode {spec_mode!r}")
+            if draft_cfg is not None:
+                raise ValueError(
+                    "spec_mode='ngram' and a draft model are mutually "
+                    "exclusive (pick one proposal source)"
+                )
+            from llark_tpu.inference.speculative import (
+                _make_verify_fn,
+                ngram_propose,
+            )
+
+            self._hostspec_verify = jax.jit(
+                _make_verify_fn(cfg, self.gen_cfg, self.gamma),
+                donate_argnums=(3,),
+            )
+            if spec_proposer is None:
+                self.spec_proposer = lambda hist, g: ngram_propose(
+                    hist, g, self.ngram_max_k
+                )
 
         # persistent batched cache, built lazily from the first prefill's
         # row cache structure (avoids duplicating init_kv_cache shapes here)
@@ -515,6 +554,8 @@ class BatchedServer:
         last cache position, which is never attended by live rows)."""
         if self.draft_cfg is not None:
             return self._spec_round()
+        if self.spec_mode is not None:
+            return self._hostspec_round()
         active = self._active()
         if not active:
             return
@@ -539,6 +580,49 @@ class BatchedServer:
                 # row still live: cache holds all chunk tokens
                 self._write_pos[i] += self.decode_chunk
                 self._tokens_in_flight[i] = int(toks[i, -1])
+
+    def _hostspec_round(self) -> None:
+        """One draft-free speculative round: host proposals (prompt-lookup
+        or injected oracle) verified by a single target forward over all
+        slots. Emits 1..gamma+1 tokens per live slot per dispatch."""
+        active = self._active()
+        if not active:
+            return
+        g = self.gamma
+        tokens_in = np.zeros((self.max_batch, g + 1), np.int32)
+        proposals = np.zeros((self.max_batch, g), np.int32)
+        # parked rows write into the never-attended tail region
+        pos = np.full((self.max_batch,), self.max_cache_len - (g + 1), np.int32)
+        for i in active:
+            req = self._slot_req[i]
+            hist = list(map(int, req.input_ids)) + req.tokens
+            props = self.spec_proposer(hist, g)
+            proposals[i] = np.asarray(props, np.int32)
+            tokens_in[i, 0] = self._tokens_in_flight[i]
+            tokens_in[i, 1:] = proposals[i]
+            pos[i] = self._write_pos[i]
+        self._rng, sub = jax.random.split(self._rng)
+        target_toks, n_emit, self._cache = self._hostspec_verify(
+            self.params, jnp.asarray(tokens_in), jnp.asarray(proposals),
+            self._cache, jnp.asarray(pos), sub,
+        )
+        # one host sync for both outputs (tunnel RTT, see _spec_round)
+        target_toks, n_emit = (
+            np.asarray(x) for x in jax.device_get((target_toks, n_emit))
+        )
+        for i in active:
+            n = int(n_emit[i])
+            self.spec_accepted += n - 1
+            self.spec_proposed += g
+            finished = False
+            for j in range(n):
+                if self._absorb(i, int(target_toks[i, j])):
+                    self._finish(i)
+                    finished = True
+                    break
+            if not finished:
+                self._write_pos[i] += n
+                self._tokens_in_flight[i] = int(target_toks[i, n - 1])
 
     def _spec_round(self) -> None:
         """One fused speculative pass over all slots: spec_rounds complete
@@ -606,6 +690,10 @@ class BatchedServer:
             # a live row can advance a full fused dispatch past its stop
             # point before the host truncates it
             headroom = 2 * self.spec_rounds * (self.gamma + 1) + self.gamma + 1
+        elif self.spec_mode is not None:
+            # host-spec absorbs every round: writes reach pos+gamma, plus
+            # the gamma+1 parking region for inactive rows
+            headroom = 2 * (self.gamma + 1)
         cap = min(
             self.max_cache_len - self.gen_cfg.max_new_tokens - headroom,
             self._prefix_len + self.prompt_buckets[-1],
@@ -634,10 +722,15 @@ class BatchedServer:
         wall = max((r.finished_at or 0.0) for r in requests) - min(
             r.submitted_at for r in requests
         )
-        return {
+        out = {
             "requests": len(requests),
             "tokens": toks,
             "tokens_per_sec": toks / wall if wall > 0 else float("nan"),
             "mean_latency_s": float(np.mean(lat)) if lat else float("nan"),
             "mean_ttft_s": float(np.mean(ttft)) if ttft else float("nan"),
         }
+        if self.spec_proposed:
+            out["spec_acceptance"] = round(
+                self.spec_accepted / self.spec_proposed, 3
+            )
+        return out

@@ -159,7 +159,9 @@ def main():
                                use_pallas_attention=False)
         cfg.max_seq_len = SEQ
     else:
-        cfg = ModelConfig.mpt_1b()
+        # bf16 params/compute: the record-run configuration
+        # (scripts/bench/bench_mpt1b.py:144 — fp32 masters are a DP concern)
+        cfg = ModelConfig.mpt_1b(param_dtype="bfloat16", dtype="bfloat16")
         cfg.mm_hidden_size = MM
 
     if args.make_data or not os.path.isdir(args.data_dir):

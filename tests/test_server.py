@@ -149,3 +149,60 @@ def test_speculative_server_matches_generator(setup):
     out = server.serve([Request(ids, audio) for ids, audio in reqs])
     got = [r.tokens for r in out]
     assert got == ref
+
+
+def test_server_ngram_spec_matches_generator(setup):
+    """Draft-free (prompt-lookup) speculative serving is token-identical
+    to plain greedy serving: wrong proposals cost acceptance, never
+    correctness (fp32 tiny model -> deterministic argmax)."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text=""),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, spec_mode="ngram", gamma=3,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
+    stats = server.stats(out)
+    assert "spec_acceptance" in stats
+    assert 0.0 <= stats["spec_acceptance"] <= 1.0
+
+
+def test_server_oracle_proposer_full_acceptance(setup):
+    """An oracle proposer (knows the greedy continuation) drives
+    acceptance to 1.0 and still emits exactly the greedy tokens — the
+    bench's controlled-acceptance hook works end-to-end."""
+    bundle, cfg, params, reqs = setup
+    max_new = 8
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+    by_prompt = {tuple(map(int, ids)): toks for (ids, _), toks in zip(reqs, ref)}
+
+    def oracle(history, gamma):
+        # find which request this history extends, then propose its true
+        # greedy continuation
+        for plen in range(len(history), 0, -1):
+            key = tuple(history[:plen])
+            if key in by_prompt:
+                emitted = len(history) - plen
+                cont = by_prompt[key][emitted:emitted + gamma]
+                return list(cont) + [0] * (gamma - len(cont))
+        return [0] * gamma
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text=""),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, spec_mode="ngram", gamma=3,
+        spec_proposer=oracle,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
+    stats = server.stats(out)
+    # every proposal inside max_new accepted; only tail rounds truncate
+    assert stats["spec_acceptance"] >= 0.8, stats
