@@ -10,10 +10,16 @@ cluster (4 virtual devices per process, gloo cross-process collectives):
      sample keys read by both hosts equals the full dataset exactly;
   3. orbax save/restore of a TrainState sharded over the GLOBAL mesh:
      every process holds only its addressable shards, saves cooperate,
-     and a restore into a differently-initialized template round-trips.
+     and a restore into a differently-initialized template round-trips;
+  4. ONE real train step over a global (data=2, fsdp=4) mesh whose data
+     axis crosses the process boundary — gradient all-reduce rides the
+     cross-process collective path. test_multihost.py asserts the
+     resulting loss/grad-norm match a single-process run of the identical
+     setup, so a wrong cross-host grad sync or batch split fails loudly.
 
-Reference role: wds.split_by_node + torch.distributed checkpoint saves
-(m2t/data_modules.py:430-495, m2t/train.py rank-0 saving).
+Reference role: wds.split_by_node + torch.distributed checkpoint saves +
+the DDP training loop (m2t/data_modules.py:430-495, m2t/train.py rank-0
+saving, m2t/train.py:255-260).
 
 NOT a pytest module (module-level side effects: distributed init).
 """
@@ -32,6 +38,41 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+TRAIN_PATCH_ID = 7
+
+
+def tiny_train_setup():
+    """Deterministic tiny model + batch + optimizer, constructed
+    identically by every worker process AND by test_multihost.py's
+    single-process reference — the shared ground for the step-parity
+    check (no file passing, no RNG divergence)."""
+    import numpy as np
+
+    from llark_tpu.config import ModelConfig, TrainingArguments
+    from llark_tpu.models.fusion import init_llark_params
+    from llark_tpu.special_tokens import IGNORE_INDEX
+    from llark_tpu.train.step import make_optimizer
+
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    B, S, T = 8, 16, 2
+    ids = np.full((B, S), 3, np.int32)
+    ids[:, 1 : 1 + T] = TRAIN_PATCH_ID
+    labels = np.where(np.arange(S)[None, :] >= S // 2, ids, IGNORE_INDEX)
+    batch = {
+        "input_ids": ids,
+        "labels": labels.astype(np.int32),
+        "seq_lengths": np.full((B,), S, np.int32),
+        "audio_encodings": rng.randn(B, T, cfg.mm_hidden_size).astype(np.float32),
+        "audio_frame_counts": np.full((B,), T, np.int32),
+    }
+    opt = make_optimizer(
+        TrainingArguments(max_steps=10, learning_rate=1e-3), params
+    )
+    return cfg, params, batch, opt
 
 
 def barrier(name: str):
@@ -132,6 +173,41 @@ def main():
     # restored array keeps the global sharding: only local shards addressable
     addr = restored.params["w"].addressable_shards
     assert len(addr) == 4, addr
+
+    # --- 4: one REAL cross-host train step (DCN grad-sync parity) ----------
+    from llark_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        param_partition_specs,
+        param_shardings,
+    )
+    from llark_tpu.train.step import make_train_step
+
+    cfg, params, batch, opt = tiny_train_setup()
+    # data axis (first) spans the process boundary: devices 0-3 are
+    # process 0, 4-7 process 1 -> batch halves live on different hosts and
+    # the grad all-reduce crosses processes
+    gmesh = make_mesh((2, 4, 1))
+
+    def to_global(x, sharding):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda i: x[i])
+
+    gparams = jax.tree.map(
+        to_global, params, param_shardings(gmesh, param_partition_specs(cfg))
+    )
+    gbatch = {k: to_global(v, batch_sharding(gmesh)(v)) for k, v in batch.items()}
+    # optax.init eagerly zeros_like's each param — illegal on
+    # non-fully-addressable arrays, so build the state under jit
+    gstate = jax.jit(lambda p: TrainState.create(p, opt))(gparams)
+    train_step = make_train_step(cfg, opt, audio_patch_id=TRAIN_PATCH_ID)
+    with gmesh:
+        _, m = jax.jit(train_step, donate_argnums=(0,))(gstate, gbatch)
+    m = {k: float(jax.device_get(v)) for k, v in m.items()}
+    with open(os.path.join(workdir, f"train_metrics_{pid}.json"), "w") as f:
+        json.dump(m, f)
+    barrier("train_step_done")
+
     barrier("done")
     print(f"MULTIHOST_OK pid={pid}")
 
