@@ -2,7 +2,15 @@
 chunked prefill, one chip. Produced the serving aggregate numbers in
 PERFORMANCE.md. --slots picks the slot count (4 = the r1 configuration;
 8 rides the int8-KV capacity headroom + unrolled-decode batch scaling).
-Run on a TPU host: python scripts/bench/bench_serving.py [--slots 8]"""
+Run on a TPU host: python scripts/bench/bench_serving.py [--slots 8]
+
+--spec composes draft-free speculation with this flagship config
+(VERDICT r2 item 2): `--spec ngram` measures real prompt-lookup
+proposals; `--spec oracle:P` first serves plainly to capture the greedy
+outputs, then re-serves with a proposer that knows them but corrupts
+each proposed token with prob 1-P — a controlled-acceptance point for
+the acceptance->throughput curve (deterministic rng; the verify pass
+keeps output tokens exact regardless of P)."""
 import argparse
 import dataclasses
 import time
@@ -16,22 +24,25 @@ from llark_tpu.inference.server import BatchedServer, Request
 from llark_tpu.models.fusion import init_llark_params
 from llark_tpu.models.quant import quantize_params_int8_incremental
 
-cfg = ModelConfig(
-    vocab_size=32004, hidden_size=4096, intermediate_size=11008,
-    num_layers=32, num_heads=32, num_kv_heads=32,
-    param_dtype="bfloat16", dtype="bfloat16", remat=False,
-    kv_cache_quant=True,
-)
-params = jax.jit(lambda k: init_llark_params(cfg, k))(jax.random.PRNGKey(0))
-params = quantize_params_int8_incremental(cfg, params)
+import sys
+
+if "--tiny" in sys.argv:  # CPU smoke of the bench logic (not a benchmark)
+    sys.argv.remove("--tiny")
+    jax.config.update("jax_platforms", "cpu")
+    cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32")
+    cfg.vocab_size = 32004
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+else:
+    cfg = ModelConfig(
+        vocab_size=32004, hidden_size=4096, intermediate_size=11008,
+        num_layers=32, num_heads=32, num_kv_heads=32,
+        param_dtype="bfloat16", dtype="bfloat16", remat=False,
+        kv_cache_quant=True,
+    )
+    params = jax.jit(lambda k: init_llark_params(cfg, k))(jax.random.PRNGKey(0))
+    params = quantize_params_int8_incremental(cfg, params)
 
 rng = np.random.RandomState(0)
-reqs = []
-for i in range(12):
-    n = 380 + (i * 17) % 120  # placeholder; rebuilt below from --prompt-base
-    ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
-    audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
-    reqs.append(Request(ids, audio))
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--slots", type=int, default=4)
@@ -41,32 +52,101 @@ ap.add_argument("--max-cache-len", type=int, default=1024)
 ap.add_argument("--prompt-base", type=int, default=380,
                 help="prompts are prompt-base .. prompt-base+120 tokens")
 ap.add_argument("--bucket", type=int, default=512)
+ap.add_argument("--spec", default=None,
+                help="ngram | oracle:P — draft-free speculation (see module doc)")
+ap.add_argument("--gamma", type=int, default=4)
 args = ap.parse_args()
 n_req = args.requests or max(12, 3 * args.slots)
-reqs = []
+prompts = []
 for i in range(n_req):
     n = args.prompt_base + (i * 17) % 120
     ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
     audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
-    reqs.append(Request(ids, audio))
+    prompts.append((ids, audio))
 
-server = BatchedServer(
-    cfg, params, audio_patch_id=31999,
-    gen_cfg=GenerationConfig(max_new_tokens=128, temperature=0.0, stop_text=""),
-    max_batch=args.slots, max_cache_len=args.max_cache_len,
-    prompt_buckets=(args.bucket,),
-    max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
-)
-# warmup: compile prefill/decode/insert programs on a small set
-warm = [Request(reqs[0].input_ids.copy(), reqs[0].audio_encoding.copy()) for _ in range(2)]
-server.gen_cfg = dataclasses.replace(server.gen_cfg, max_new_tokens=17)
-server.serve(warm)
-server.gen_cfg = dataclasses.replace(server.gen_cfg, max_new_tokens=128)
 
-t0 = time.time()
-out = server.serve(reqs)
-stats = server.stats(out)
-stats["wall_s"] = round(time.time() - t0, 1)
+def fresh_requests():
+    return [Request(ids.copy(), audio.copy()) for ids, audio in prompts]
+
+
+def build_server(spec_mode=None, proposer=None):
+    return BatchedServer(
+        cfg, params, audio_patch_id=31999,
+        gen_cfg=GenerationConfig(max_new_tokens=128, temperature=0.0,
+                                 stop_text=""),
+        max_batch=args.slots, max_cache_len=args.max_cache_len,
+        prompt_buckets=(args.bucket,),
+        max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
+        spec_mode=spec_mode, spec_proposer=proposer, gamma=args.gamma,
+    )
+
+
+def run(server):
+    # warmup: compile prefill/decode/insert(/verify) programs on a small set
+    warm = fresh_requests()[:2]
+    server.gen_cfg = dataclasses.replace(server.gen_cfg, max_new_tokens=17)
+    server.serve(warm)
+    server.gen_cfg = dataclasses.replace(server.gen_cfg, max_new_tokens=128)
+    t0 = time.time()
+    out = server.serve(fresh_requests())
+    stats = server.stats(out)
+    stats["wall_s"] = round(time.time() - t0, 1)
+    return out, stats
+
+
+def make_oracle(plain_out, p_accept):
+    """Proposer that knows the greedy outputs (captured from the plain run)
+    but corrupts each proposed token with prob 1-p_accept — a controlled
+    acceptance point. Keyed on the first 16 prompt ids (collision-free for
+    these random prompts). Once one proposal is corrupted the rest of the
+    round is dead anyway, so it keeps corrupting."""
+    orng = np.random.RandomState(1234)
+    book = {
+        tuple(map(int, r.input_ids[:16])): (len(r.input_ids), list(r.tokens))
+        for r in plain_out
+    }
+
+    def oracle(history, g):
+        plen, toks = book[tuple(history[:16])]
+        emitted = len(history) - plen
+        cont = toks[emitted:emitted + g]
+        props, alive = [], True
+        for j in range(g):
+            t = int(cont[j]) if j < len(cont) else 0
+            if not alive or orng.random_sample() > p_accept:
+                t = (t + 1) % 31996  # != target argmax -> verify rejects
+                alive = False
+            props.append(t)
+        return props
+
+    return oracle
+
+
+spec_mode = None
+p_accept = None
+if args.spec:
+    spec_mode = args.spec.split(":")[0]
+    if spec_mode == "oracle":
+        p_accept = float(args.spec.split(":")[1])
+
+if spec_mode == "oracle":
+    server = build_server()
+    plain_out, plain_stats = run(server)
+    del server  # free the plain server's cache HBM before the spec server
+    spec_server = build_server("ngram", make_oracle(plain_out, p_accept))
+    out, stats = run(spec_server)
+    assert [r.tokens for r in out] == [r.tokens for r in plain_out], \
+        "speculative output diverged from plain greedy"
+    stats["plain_tokens_per_sec"] = plain_stats["tokens_per_sec"]
+    stats["p_accept"] = p_accept
+    stats["gamma"] = args.gamma
+elif spec_mode == "ngram":
+    server = build_server("ngram")
+    out, stats = run(server)
+    stats["gamma"] = args.gamma
+else:
+    server = build_server()
+    out, stats = run(server)
 
 # prompt-lookup potential on the outputs actually served: what acceptance
 # an n-gram speculative decoder would have seen (no re-decode needed)
