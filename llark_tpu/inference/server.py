@@ -84,6 +84,8 @@ class BatchedServer:
         spec_mode: Optional[str] = None,
         spec_proposer=None,
         ngram_max_k: int = 3,
+        kv_block_size: Optional[int] = None,
+        kv_pool_blocks: Optional[int] = None,
     ):
         if cfg.use_flash_decode is None:
             # serving regime: the cache is provisioned for max context and
@@ -250,6 +252,51 @@ class BatchedServer:
                     hist, g, self.ngram_max_k
                 )
 
+        # paged KV (kv_block_size set): the persistent cache is a physical
+        # block POOL + per-slot block tables instead of max_batch dense
+        # max_cache_len rows — HBM scales with kv_pool_blocks, so the same
+        # memory admits more live slots (inference/paged.py). Tables are
+        # host-owned; a dirty flag refreshes the device copy (tiny int32
+        # [B, max_blocks]) before the next dispatch.
+        self.kv_block_size = kv_block_size
+        self.paged = kv_block_size is not None
+        if self.paged:
+            if draft_cfg is not None:
+                raise ValueError(
+                    "paged KV + fused draft speculation is not supported; "
+                    "use spec_mode='ngram' for speculative paged serving"
+                )
+            if shared_prefix_ids is not None:
+                raise ValueError("paged KV + prefix caching not supported")
+            if max_cache_len % kv_block_size:
+                raise ValueError(
+                    f"max_cache_len {max_cache_len} must be a multiple of "
+                    f"kv_block_size {kv_block_size}"
+                )
+            if kv_block_size % 8:
+                raise ValueError(
+                    "kv_block_size must be a multiple of 8 (Mosaic "
+                    "last-two-dims tiling rule for the pool blocks)"
+                )
+            if spec_mode is not None and gamma + 1 > kv_block_size:
+                raise ValueError("gamma+1 must fit in one KV block")
+            from llark_tpu.inference.paged import BlockAllocator
+
+            self._max_blocks = max_cache_len // kv_block_size
+            if kv_pool_blocks is None:
+                # conservative default: full dense capacity (no HBM saving;
+                # callers size the pool down to their live-token budget)
+                kv_pool_blocks = max_batch + max_batch * self._max_blocks
+            self.kv_pool_blocks = kv_pool_blocks
+            self._allocator = BlockAllocator(kv_pool_blocks, max_batch)
+            self._host_tables = np.broadcast_to(
+                np.arange(max_batch, dtype=np.int32)[:, None],
+                (max_batch, self._max_blocks),
+            ).copy()
+            self._tables_dirty = True
+            self._slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
+            self._paged_insert_by_n: Dict[int, Any] = {}
+
         # persistent batched cache, built lazily from the first prefill's
         # row cache structure (avoids duplicating init_kv_cache shapes here)
         self._cache = None
@@ -350,6 +397,28 @@ class BatchedServer:
         pc = self._prefix_cache if which == "t" else self._d_prefix_cache
         return fn(pc)
 
+    def _headroom(self) -> int:
+        """Cache positions a live row may write past its stop point before
+        the host truncates it (one source for serve()'s capacity check and
+        the paged block budget)."""
+        if self.draft_cfg is not None:
+            return 2 * self.spec_rounds * (self.gamma + 1) + self.gamma + 1
+        if self.spec_mode is not None:
+            return 2 * (self.gamma + 1)
+        return self.decode_chunk
+
+    def _block_budget(self, suffix_len: int, bucket: int) -> int:
+        """Physical blocks a request needs for its whole lifetime: the
+        admission insert covers the full bucket span; decode then writes
+        up to max_new + headroom past the prompt."""
+        span = max(bucket, suffix_len + self.gen_cfg.max_new_tokens + self._headroom())
+        return -(-min(span, self.max_cache_len) // self.kv_block_size)
+
+    def _refresh_tables(self) -> None:
+        if self.paged and self._tables_dirty and self._cache is not None:
+            self._cache["block_tables"] = jnp.asarray(self._host_tables)
+            self._tables_dirty = False
+
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
             if n <= b:
@@ -383,13 +452,28 @@ class BatchedServer:
             head_bucket = self._bucket(self._suffix_len(self._queue[0]))
             # FIFO group: consecutive head-of-queue requests in this bucket
             group: List[Request] = []
+            pending_blocks: List[List[int]] = []
             while (
                 self._queue
                 and len(group) < len(slots)
                 and self._check_prefix(self._queue[0]) is None
                 and self._bucket(self._suffix_len(self._queue[0])) == head_bucket
             ):
+                if self.paged:
+                    # admission is gated by pool capacity, not just free
+                    # slots: a request that can't get its blocks waits in
+                    # the queue until retirements free some
+                    blocks = self._allocator.alloc(
+                        self._block_budget(
+                            self._suffix_len(self._queue[0]), head_bucket
+                        )
+                    )
+                    if blocks is None:
+                        break
+                    pending_blocks.append(blocks)
                 group.append(self._queue.pop(0))
+            if not group:
+                break  # pool exhausted: decode on, admit after retirements
             # fixed admission batch (pad with plen=1 dummies): one prefill
             # program per bucket, independent of how many requests arrived
             k = self.max_batch
@@ -452,17 +536,52 @@ class BatchedServer:
                         self.draft_cfg, self.max_batch, self.max_cache_len
                     )
             if self._cache is None:
-                # the persistent batched cache is FULL max_cache_len even
-                # though admission caches are bucket-sized
-                from llark_tpu.models.decoder import init_kv_cache
+                if self.paged:
+                    from llark_tpu.models.decoder import init_paged_kv_cache
 
-                self._cache = init_kv_cache(
-                    self.cfg, self.max_batch, self.max_cache_len
-                )
+                    self._cache = init_paged_kv_cache(
+                        self.cfg, self.max_batch, self.kv_pool_blocks,
+                        self.kv_block_size, self._max_blocks,
+                    )
+                else:
+                    # the persistent batched cache is FULL max_cache_len
+                    # even though admission caches are bucket-sized
+                    from llark_tpu.models.decoder import init_kv_cache
+
+                    self._cache = init_kv_cache(
+                        self.cfg, self.max_batch, self.max_cache_len
+                    )
             now = time.time()
+            bucket_blocks = (
+                -(-head_bucket // self.kv_block_size) if self.paged else 0
+            )
             for j, req in enumerate(group):
                 slot = slots[j]
-                self._cache = self._insert(self._cache, new_cache, j, slot)
+                if self.paged:
+                    blocks = pending_blocks[j]
+                    self._slot_blocks[slot] = blocks
+                    self._host_tables[slot, :] = slot  # parking default
+                    self._host_tables[slot, : len(blocks)] = blocks
+                    self._tables_dirty = True
+                    insert = self._paged_insert_by_n.get(bucket_blocks)
+                    if insert is None:
+                        from llark_tpu.inference.paged import (
+                            make_block_insert_fn,
+                        )
+
+                        insert = jax.jit(
+                            make_block_insert_fn(
+                                self.kv_block_size, bucket_blocks
+                            ),
+                            donate_argnums=(0,),
+                        )
+                        self._paged_insert_by_n[bucket_blocks] = insert
+                    self._cache = insert(
+                        self._cache, new_cache, j,
+                        jnp.asarray(blocks[:bucket_blocks], jnp.int32),
+                    )
+                else:
+                    self._cache = self._insert(self._cache, new_cache, j, slot)
                 if self.draft_cfg is not None:
                     self._d_cache = self._insert(self._d_cache, d_new_cache, j, slot)
                     self._prev_tok[slot] = int(ids[j, plens[j] - 1])
@@ -545,6 +664,14 @@ class BatchedServer:
         req.done = True
         req.finished_at = time.time()
         self._slot_req[slot] = None
+        if self.paged and self._slot_blocks[slot]:
+            # return the row's blocks to the pool and repoint its whole
+            # table at the parking block, so parked writes can never land
+            # in a block a future request now owns
+            self._allocator.free(self._slot_blocks[slot])
+            self._slot_blocks[slot] = []
+            self._host_tables[slot, :] = slot
+            self._tables_dirty = True
 
     def _active(self) -> List[int]:
         return [i for i, r in enumerate(self._slot_req) if r is not None]
@@ -559,6 +686,7 @@ class BatchedServer:
         active = self._active()
         if not active:
             return
+        self._refresh_tables()
         token = np.zeros((self.max_batch,), np.int32)
         # inactive rows park at the last `chunk` cache positions, which live
         # rows can never attend (serve() caps prompt+max_new at S - chunk)
@@ -588,6 +716,7 @@ class BatchedServer:
         active = self._active()
         if not active:
             return
+        self._refresh_tables()
         g = self.gamma
         tokens_in = np.zeros((self.max_batch, g + 1), np.int32)
         proposals = np.zeros((self.max_batch, g), np.int32)
@@ -685,15 +814,10 @@ class BatchedServer:
                 "race over the donated KV cache)"
             )
         now = time.time()
-        headroom = self.decode_chunk
-        if self.draft_cfg is not None:
-            # a live row can advance a full fused dispatch past its stop
-            # point before the host truncates it
-            headroom = 2 * self.spec_rounds * (self.gamma + 1) + self.gamma + 1
-        elif self.spec_mode is not None:
-            # host-spec absorbs every round: writes reach pos+gamma, plus
-            # the gamma+1 parking region for inactive rows
-            headroom = 2 * (self.gamma + 1)
+        # draft spec: a live row can advance a full fused dispatch past its
+        # stop point before the host truncates it; host-spec absorbs every
+        # round (writes reach pos+gamma plus the gamma+1 parking region)
+        headroom = self._headroom()
         cap = min(
             self.max_cache_len - self.gen_cfg.max_new_tokens - headroom,
             self._prefix_len + self.prompt_buckets[-1],

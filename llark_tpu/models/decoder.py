@@ -186,6 +186,51 @@ def init_kv_cache(
     }
 
 
+def init_paged_kv_cache(
+    cfg: ModelConfig,
+    batch_size: int,
+    num_blocks: int,
+    block_size: int,
+    max_blocks_per_row: int,
+    dtype=None,
+) -> Params:
+    """Block-POOL KV cache: physical blocks shared by all rows, one
+    logical->physical block table per row (vLLM-style paging, TPU-shaped:
+    the indirection lives in scalar-prefetch index_maps, ops/
+    decode_attention.py). HBM cost is num_blocks * block_size tokens
+    instead of batch * max_len — the serving win is packing MORE live
+    rows into the same pool, amortizing the per-step weight read.
+
+    Physical blocks 0..batch_size-1 are per-slot PARKING blocks: every
+    table entry starts there, so clamped/parked writes of row b land in
+    b's own block — writes stay unique across rows (scatter uses
+    unique_indices) and reads of unallocated entries dedupe into one
+    fetch. Allocate real blocks from batch_size upward.
+    """
+    shape = (
+        cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size, cfg.head_dim
+    )
+    tables = jnp.broadcast_to(
+        jnp.arange(batch_size, dtype=jnp.int32)[:, None],
+        (batch_size, max_blocks_per_row),
+    )
+    out = {
+        "block_tables": tables,
+        "index": jnp.zeros((), jnp.int32),
+    }
+    if cfg.kv_cache_quant:
+        out.update(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    else:
+        dtype = dtype or jnp.dtype(cfg.dtype)
+        out.update(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    return out
+
+
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[B, H, S, D] -> (int8 values, f32 per-(B,H,S) scales)."""
     xf = x.astype(jnp.float32)
@@ -263,6 +308,8 @@ def _layer_forward(
     prefill_from_empty: bool = False,  # static: cache starts empty this call
     k_scale_cache: Optional[jnp.ndarray] = None,  # [B, Hkv, S_max] int8-KV scales
     v_scale_cache: Optional[jnp.ndarray] = None,
+    block_tables: Optional[jnp.ndarray] = None,  # [B, max_blocks]: caches are
+    # block POOLS [N, Hkv, block, D] (init_paged_kv_cache)
 ) -> Tuple[jnp.ndarray, ...]:
     dtype = x.dtype
     b, s, h = x.shape
@@ -285,7 +332,41 @@ def _layer_forward(
             v_store, v_sc = _quantize_kv(v)
         else:
             k_store, v_store = k, v
-        if cache_positions is not None:
+        if block_tables is not None:
+            if cache_positions is None:
+                raise ValueError(
+                    "paged caches only support ragged decode writes "
+                    "(prefill goes through dense bucket caches + the "
+                    "server's block insert)"
+                )
+            # paged decode write: token t of row b lands at
+            # pool[table[b, pos_t // bk], :, pos_t % bk]. Indices are
+            # unique by construction (rows own disjoint blocks incl. their
+            # parking block), so the scatter compiles without combining.
+            bk = k_cache.shape[2]
+            pos = cache_positions[:, None] + jnp.arange(s, dtype=jnp.int32)
+            blk = jnp.take_along_axis(block_tables, pos // bk, axis=1)
+            off = pos % bk  # [B, s]
+            new_k_cache = k_cache.at[blk, :, off].set(
+                k_store.transpose(0, 2, 1, 3).astype(k_cache.dtype),
+                unique_indices=True, mode="promise_in_bounds",
+            )
+            new_v_cache = v_cache.at[blk, :, off].set(
+                v_store.transpose(0, 2, 1, 3).astype(v_cache.dtype),
+                unique_indices=True, mode="promise_in_bounds",
+            )
+            if quant:
+                new_ks = k_scale_cache.at[blk, :, off].set(
+                    k_sc.transpose(0, 2, 1),
+                    unique_indices=True, mode="promise_in_bounds",
+                )
+                new_vs = v_scale_cache.at[blk, :, off].set(
+                    v_sc.transpose(0, 2, 1),
+                    unique_indices=True, mode="promise_in_bounds",
+                )
+            q_offset = cache_positions
+            cache_kv_lengths = cache_positions + s
+        elif cache_positions is not None:
             # ragged decode: each row writes at its own position
             def upd(c, x, pos):
                 return jax.lax.dynamic_update_slice(c, x, (0, pos, 0))
@@ -333,6 +414,25 @@ def _layer_forward(
                 use_pallas=cfg.use_pallas_attention,
                 block_q=cfg.attention_block_q,
                 block_k=cfg.attention_block_k,
+            )
+        elif block_tables is not None:
+            # paged reads always dispatch through decode_attention: the
+            # Pallas kernel does the table indirection in its index_map on
+            # TPU; elsewhere it gathers a dense per-row view first
+            from llark_tpu.ops.decode_attention import decode_attention
+
+            attn = decode_attention(
+                q,
+                new_k_cache,
+                new_v_cache,
+                kv_lengths=cache_kv_lengths,
+                q_positions=cache_positions,
+                k_scale=new_ks,
+                v_scale=new_vs,
+                slopes=slopes,
+                use_pallas=cfg.use_flash_decode is not False,
+                block_k=cfg.decode_block_k,
+                block_tables=block_tables,
             )
         elif cache_positions is not None and s <= 16 and cfg.use_flash_decode is True:
             # short-query decode (single-token steps and speculative
@@ -434,6 +534,10 @@ def decoder_forward(
 
     cache_index = kv_cache["index"] if kv_cache is not None else None
     quant_cache = kv_cache is not None and "k_scale" in kv_cache
+    # paged cache (init_paged_kv_cache): k/v (+scales) are block pools and
+    # the per-row block tables ride in the cache dict (closure-captured —
+    # they are layer-invariant, so they never enter the layer scan's xs)
+    block_tables = kv_cache.get("block_tables") if kv_cache is not None else None
     if positions is None:
         pos = jnp.arange(s, dtype=jnp.int32)[None, :]
         if cache_positions is not None:
@@ -468,6 +572,7 @@ def decoder_forward(
                 cache_index, cache_positions, rng,
                 prefill_from_empty=prefill_from_empty,
                 k_scale_cache=ks, v_scale_cache=vs,
+                block_tables=block_tables,
             )
             return out, ((nk, nv, nks, nvs) if quant_cache else (nk, nv))
         lp = xs
@@ -507,6 +612,7 @@ def decoder_forward(
                 prefill_from_empty=prefill_from_empty,
                 k_scale_cache=None if Lks is None else Lks[l],
                 v_scale_cache=None if Lvs is None else Lvs[l],
+                block_tables=block_tables,
             )
             Lk = Lk.at[l].set(nk)
             Lv = Lv.at[l].set(nv)
@@ -517,6 +623,8 @@ def decoder_forward(
         if quant_cache:
             new_cache["k_scale"] = Lks
             new_cache["v_scale"] = Lvs
+        if block_tables is not None:
+            new_cache["block_tables"] = block_tables
         x = _norm(
             cfg, x, params["final_norm_scale"], params.get("final_norm_bias")
         )
@@ -539,6 +647,8 @@ def decoder_forward(
         else:
             x, (new_k, new_v) = jax.lax.scan(body, x, xs)
             new_cache = {"k": new_k, "v": new_v, "index": kv_cache["index"] + s}
+        if block_tables is not None:
+            new_cache["block_tables"] = block_tables
     else:
         xs = params["layers"] if layer_rngs is None else (params["layers"], layer_rngs)
         x, aux = jax.lax.scan(body, x, xs)

@@ -52,6 +52,7 @@ def _decode_kernel(
     kvlen_ref,  # SMEM [B] int32: live cache length per row (mask bound)
     qpos_ref,  # SMEM [B] int32: absolute position of the FIRST query token
     slope_ref,  # SMEM [H] f32: per-head alibi slopes (0 = disabled)
+    table_ref,  # SMEM [B, max_blocks] int32 block table (paged; [1,1] dense)
     # inputs
     q_ref,  # VMEM [1, group, sq, D]
     k_ref,  # VMEM [1, 1, block_k, D] (int8 or compute dtype)
@@ -162,6 +163,7 @@ def _decode_kernel_all_heads(
     kvlen_ref,  # SMEM [B] int32
     qpos_ref,  # SMEM [B] int32: first-query absolute positions
     slope_ref,  # SMEM [H] f32
+    table_ref,  # SMEM [B, max_blocks] int32 block table (paged; [1,1] dense)
     # inputs
     q_ref,  # VMEM [1, H, sq, D]
     k_ref,  # VMEM [1, Hkv, block_k, D] (int8 or compute dtype)
@@ -282,6 +284,7 @@ def flash_decode_attention(
     block_k: int = 512,
     all_heads: bool = True,
     interpret: bool = False,
+    block_tables: Optional[jnp.ndarray] = None,  # [B, max_blocks] int32
 ) -> jnp.ndarray:
     """Short-query decode attention against a (possibly int8) KV cache.
 
@@ -291,11 +294,36 @@ def flash_decode_attention(
     contiguous pipelined DMAs. `q_positions` is the absolute position of
     each row's FIRST query; queries within a row sit at consecutive
     positions. Returns [B, H, Sq, D] in q.dtype.
+
+    Paged mode (`block_tables` given): the caches are block POOLS of shape
+    [N_blocks, Hkv, block_size, D] (scales [N_blocks, Hkv, block_size])
+    shared by all rows; row b's logical block i lives in physical block
+    `block_tables[b, i]`. The table rides in scalar-prefetch memory and
+    the indirection happens in the BlockSpec index_map, so the kernel body
+    is IDENTICAL to the dense one — HBM still sees one contiguous
+    pipelined DMA per live block, and consecutive repeats (clamped
+    past-the-end cells, parked rows pointing at one parking block) skip
+    the refetch. Requires all_heads=True.
     """
     b, h, sq, d = q.shape
-    _, hkv, sk, _ = k_cache.shape
+    paged = block_tables is not None
+    if paged:
+        if not all_heads:
+            raise ValueError("paged decode requires the all-heads layout")
+        n_blocks, hkv, block_k, _ = k_cache.shape
+        max_blocks = block_tables.shape[1]
+        sk = max_blocks * block_k  # logical length; always block-divisible
+        table_arr = block_tables.astype(jnp.int32).reshape(b, max_blocks)
+    else:
+        _, hkv, sk, _ = k_cache.shape
+        block_k = min(block_k, sk)
+        if sk >= 128:
+            # Mosaic's last-two-dims rule: the int8-scale block's last dim
+            # is block_k, which must be 128-divisible unless it spans the
+            # whole cache — clamp sub-128 requests up
+            block_k = max(block_k, 128)
+        table_arr = jnp.zeros((1, 1), jnp.int32)  # unused by dense maps
     group = h // hkv
-    block_k = min(block_k, sk)
     quant = k_scale is not None
 
     kvlen_arr = kv_lengths.astype(jnp.int32).reshape(b)
@@ -309,7 +337,7 @@ def flash_decode_attention(
     else:
         slopes_arr = jnp.abs(slopes).astype(jnp.float32).reshape(h)
 
-    if all_heads:
+    if all_heads and not paged:
         # keep the double-buffered k+v blocks (+ scales) within ~8 MB VMEM
         itemsize = k_cache.dtype.itemsize
         while hkv * block_k * d * itemsize * 2 * 2 > 8 * 1024 * 1024 and block_k > 128:
@@ -332,13 +360,30 @@ def flash_decode_attention(
             sk=sk,
         )
 
-        def kv_index(bi, kb, kvlen, qpos, slope):
-            last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
-            return (bi, 0, jnp.minimum(kb, last), 0)
+        if paged:
 
-        def sc_index(bi, kb, kvlen, qpos, slope):
-            last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
-            return (bi, 0, 0, jnp.minimum(kb, last))
+            def kv_index(bi, kb, kvlen, qpos, slope, table):
+                last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+                return (table[bi, jnp.minimum(kb, last)], 0, 0, 0)
+
+            def sc_index(bi, kb, kvlen, qpos, slope, table):
+                last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+                return (table[bi, jnp.minimum(kb, last)], 0, 0, 0)
+
+            kv_block = (1, hkv, block_k, d)
+            scale_block = (1, hkv, 1, block_k)
+        else:
+
+            def kv_index(bi, kb, kvlen, qpos, slope, table):
+                last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+                return (bi, 0, jnp.minimum(kb, last), 0)
+
+            def sc_index(bi, kb, kvlen, qpos, slope, table):
+                last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
+                return (bi, 0, 0, jnp.minimum(kb, last))
+
+            kv_block = (1, hkv, block_k, d)
+            scale_block = (1, hkv, 1, block_k)
 
         grid = (b, num_k_blocks)
         q_spec = pl.BlockSpec(
@@ -346,11 +391,9 @@ def flash_decode_attention(
             lambda bi, kb, *_: (bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        kv_spec = pl.BlockSpec(
-            (1, hkv, block_k, d), kv_index, memory_space=pltpu.VMEM
-        )
+        kv_spec = pl.BlockSpec(kv_block, kv_index, memory_space=pltpu.VMEM)
         scale_spec = pl.BlockSpec(
-            (1, hkv, 1, block_k), sc_index, memory_space=pltpu.VMEM
+            scale_block, sc_index, memory_space=pltpu.VMEM
         )
         out_spec = pl.BlockSpec(
             (1, h, sq, d),
@@ -370,11 +413,11 @@ def flash_decode_attention(
             sk=sk,
         )
 
-        def kv_index(bi, hi, kb, kvlen, qpos, slope):
+        def kv_index(bi, hi, kb, kvlen, qpos, slope, table):
             last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
             return (bi, hi, jnp.minimum(kb, last), 0)
 
-        def sc_index(bi, hi, kb, kvlen, qpos, slope):
+        def sc_index(bi, hi, kb, kvlen, qpos, slope, table):
             last = jnp.maximum(pl.cdiv(kvlen[bi], block_k), 1) - 1
             return (bi, hi, 0, jnp.minimum(kb, last))
 
@@ -410,7 +453,7 @@ def flash_decode_attention(
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -431,7 +474,7 @@ def flash_decode_attention(
             transcendentals=b * h * sk,
         ),
         interpret=interpret,
-    )(kvlen_arr, qpos_arr, slopes_arr, *args)
+    )(kvlen_arr, qpos_arr, slopes_arr, table_arr, *args)
 
 
 def decode_attention(
@@ -448,11 +491,14 @@ def decode_attention(
     block_k: int = 512,
     all_heads: bool = True,
     interpret: bool = False,
+    block_tables: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dispatching decode-attention entry point: the Pallas flash-decode
-    kernel on TPU (small Sq, 128-aligned head_dim), XLA elsewhere."""
+    kernel on TPU (small Sq, 128-aligned head_dim), XLA elsewhere. With
+    `block_tables`, caches are block pools (see flash_decode_attention);
+    the XLA fallback gathers each row's live blocks into a dense view
+    first (correctness path for CPU tests / large Sq)."""
     b, h, sq, d = q.shape
-    sk = k_cache.shape[2]
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas and (on_tpu or interpret) and sq <= 32 and d % 128 == 0:
         return flash_decode_attention(
@@ -467,7 +513,24 @@ def decode_attention(
             block_k=block_k,
             all_heads=all_heads,
             interpret=interpret,
+            block_tables=block_tables,
         )
+    if block_tables is not None:
+        # dense view: [B, max_blocks] x [N, Hkv, bk, D] -> [B, Hkv, S, D]
+        bk = k_cache.shape[2]
+        max_blocks = block_tables.shape[1]
+
+        def dense(pool):  # [N, Hkv, bk(,D)] -> [B, Hkv, max_blocks*bk(,D)]
+            g = jnp.take(pool, block_tables.reshape(-1), axis=0)
+            g = g.reshape((b, max_blocks) + pool.shape[1:])
+            g = jnp.moveaxis(g, 1, 2)  # [B, Hkv, max_blocks, bk(, D)]
+            return g.reshape(
+                (b, pool.shape[1], max_blocks * bk) + pool.shape[3:]
+            )
+
+        k_cache, v_cache = dense(k_cache), dense(v_cache)
+        if k_scale is not None:
+            k_scale, v_scale = dense(k_scale), dense(v_scale)
     return xla_attention(
         q,
         k_cache,

@@ -55,6 +55,11 @@ ap.add_argument("--bucket", type=int, default=512)
 ap.add_argument("--spec", default=None,
                 help="ngram | oracle:P — draft-free speculation (see module doc)")
 ap.add_argument("--gamma", type=int, default=4)
+ap.add_argument("--paged", type=int, default=0, metavar="BLOCK",
+                help="paged KV with this block size (0 = dense)")
+ap.add_argument("--pool-blocks", type=int, default=0,
+                help="physical pool size incl. per-slot parking blocks "
+                     "(default: dense-equivalent HBM + parking)")
 args = ap.parse_args()
 n_req = args.requests or max(12, 3 * args.slots)
 prompts = []
@@ -70,6 +75,15 @@ def fresh_requests():
 
 
 def build_server(spec_mode=None, proposer=None):
+    paged_kw = {}
+    if args.paged:
+        # default pool: the HBM a DENSE 8-slot cache would take, plus the
+        # per-slot parking blocks — so --slots above 8 measures pure
+        # packing wins at equal cache memory
+        pool = args.pool_blocks or (
+            args.slots + 8 * args.max_cache_len // args.paged
+        )
+        paged_kw = dict(kv_block_size=args.paged, kv_pool_blocks=pool)
     return BatchedServer(
         cfg, params, audio_patch_id=31999,
         gen_cfg=GenerationConfig(max_new_tokens=128, temperature=0.0,
@@ -78,6 +92,7 @@ def build_server(spec_mode=None, proposer=None):
         prompt_buckets=(args.bucket,),
         max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
         spec_mode=spec_mode, spec_proposer=proposer, gamma=args.gamma,
+        **paged_kw,
     )
 
 
@@ -162,4 +177,9 @@ rates = [
 stats["ngram_acceptance_g4"] = round(float(np.mean(rates)), 3) if rates else None
 stats["slots"] = args.slots
 stats["max_cache_len"] = args.max_cache_len
+if args.paged:
+    stats["kv_block_size"] = args.paged
+    stats["kv_pool_blocks"] = args.pool_blocks or (
+        args.slots + 8 * args.max_cache_len // args.paged
+    )
 print(stats)

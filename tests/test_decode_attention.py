@@ -224,3 +224,91 @@ def test_unrolled_decode_matches_scan_decode():
             toks = g.generate(jnp.asarray(ids), jnp.asarray(lens))
             outs[unroll] = [list(t) for t in toks]
         assert outs[True] == outs[False]
+
+
+# ---------------------------------------------------------------------------
+# Paged (block-table) mode: caches are physical block pools shared by all
+# rows; the table indirection happens in the BlockSpec index_map.
+# ---------------------------------------------------------------------------
+
+
+def _page(dense, block_k, seed=0, n_spare=3):
+    """Scatter a dense [B, Hkv, S, D] (or [B, Hkv, S] scale) cache into a
+    randomly-permuted block pool + block tables. Physical block 0 is left
+    as a never-referenced decoy so an off-by-one in the indirection shows
+    up as a parity failure, not luck."""
+    arr = np.asarray(dense)
+    b, hkv, s = arr.shape[:3]
+    assert s % block_k == 0
+    mb = s // block_k
+    n = 1 + b * mb + n_spare
+    perm = np.random.RandomState(seed).permutation(n - 1) + 1
+    tables = perm[: b * mb].reshape(b, mb)
+    pool = np.random.RandomState(seed + 1).normal(
+        size=(n, hkv, block_k) + arr.shape[3:]
+    ).astype(np.float32)  # junk everywhere a table entry doesn't point
+    pool = pool.astype(arr.dtype) if arr.dtype != np.int8 else (
+        (pool * 10).astype(np.int8)
+    )
+    for bi in range(b):
+        for i in range(mb):
+            pool[tables[bi, i]] = arr[bi, :, i * block_k:(i + 1) * block_k]
+    return jnp.asarray(pool), jnp.asarray(tables, jnp.int32)
+
+
+def test_paged_decode_matches_dense_bf16():
+    b, h, hkv, s, d, bk = 3, 4, 2, 512, 128, 128
+    q, k, v = _mk(b, h, hkv, s, d, jax.random.PRNGKey(10))
+    kp, tables = _page(k, bk, seed=0)
+    vp, tables2 = _page(v, bk, seed=0)
+    np.testing.assert_array_equal(np.asarray(tables), np.asarray(tables2))
+    kv_lengths = jnp.array([512, 130, 1], jnp.int32)
+    got = _fda(
+        q, kp, vp, kv_lengths=kv_lengths, q_positions=kv_lengths - 1,
+        block_tables=tables, interpret=True,
+    )
+    want = _ref(q, k, v, kv_lengths, kv_lengths - 1)
+    _assert_close(got, want)
+
+
+def test_paged_decode_int8_gqa_alibi_multiquery():
+    # the full serving feature set through the paged path: int8 pool +
+    # scale pool, GQA, alibi, gamma+1 verify window
+    b, h, hkv, s, d, bk, sq = 2, 8, 4, 384, 128, 128, 5
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.bfloat16)
+    k8, ksc = _quant(k)
+    v8, vsc = _quant(v)
+    slopes = alibi_slopes(h)
+    kp, tables = _page(k8, bk, seed=2)
+    vp, _ = _page(v8, bk, seed=2)
+    kscp, _ = _page(ksc, bk, seed=2)
+    vscp, _ = _page(vsc, bk, seed=2)
+    first_qpos = jnp.array([200, 37], jnp.int32)
+    kv_lengths = first_qpos + sq
+    got = _fda(
+        q, kp, vp, kv_lengths=kv_lengths, q_positions=first_qpos,
+        k_scale=kscp, v_scale=vscp, slopes=slopes, block_tables=tables,
+        interpret=True,
+    )
+    want = _ref(q, k8, v8, kv_lengths, first_qpos, slopes=slopes,
+                k_scale=ksc, v_scale=vsc)
+    _assert_close(got, want)
+
+
+def test_paged_xla_fallback_matches_dense():
+    from llark_tpu.ops.decode_attention import decode_attention
+
+    b, h, hkv, s, d, bk = 2, 4, 2, 256, 64, 128  # d=64: Pallas gate says no
+    q, k, v = _mk(b, h, hkv, s, d, jax.random.PRNGKey(12))
+    kp, tables = _page(k, bk, seed=3)
+    vp, _ = _page(v, bk, seed=3)
+    kv_lengths = jnp.array([201, 64], jnp.int32)
+    got = decode_attention(
+        q, kp, vp, kv_lengths=kv_lengths, q_positions=kv_lengths - 1,
+        block_tables=tables, use_pallas=False,
+    )
+    want = _ref(q, k, v, kv_lengths, kv_lengths - 1)
+    _assert_close(got, want)

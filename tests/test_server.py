@@ -206,3 +206,63 @@ def test_server_oracle_proposer_full_acceptance(setup):
     stats = server.stats(out)
     # every proposal inside max_new accepted; only tail rounds truncate
     assert stats["spec_acceptance"] >= 0.8, stats
+
+
+def test_paged_server_matches_generator(setup):
+    """Paged-KV serving (block pool + per-slot tables) emits exactly the
+    dense greedy tokens while the pool holds less HBM than the dense
+    cache would (2 slots x 4 blocks dense = 8; pool carries 4 usable)."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text=""),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2,
+        kv_block_size=16, kv_pool_blocks=2 + 4,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
+    # all blocks returned to the pool after the wave
+    assert server._allocator.free_blocks == 4
+
+
+def test_paged_server_pool_exhaustion_queues(setup):
+    """A pool that fits only ONE request's blocks serializes admission by
+    capacity (not slots) and still completes every request exactly."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text=""),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2,
+        kv_block_size=16, kv_pool_blocks=2 + 2,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
+
+
+def test_paged_server_with_ngram_spec(setup):
+    """Paged KV composes with draft-free speculation: verify windows write
+    and read through the block tables, tokens stay exact."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text=""),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, spec_mode="ngram", gamma=3,
+        kv_block_size=16, kv_pool_blocks=2 + 6,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
