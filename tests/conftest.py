@@ -22,12 +22,40 @@ assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 # ---------------------------------------------------------------------------
-# Fast tier: `pytest -m "not slow"` (~3 min) for the edit loop; the full
-# suite stays the pre-round gate. The list below is measured (>=10 s per
-# test on 1 CPU, pytest --durations; regenerate the same way when tests
-# move tiers). In-file @pytest.mark.slow marks compose with this.
+# Fast tier: `pytest -m "not slow"` for the edit loop; the full suite stays
+# the pre-round gate. Tiering is MEASURED, not hand-pinned: every full-suite
+# run with LLARK_RECORD_DURATIONS=1 rewrites tests/.durations.json with this
+# host's per-test wall times, and collection marks anything >= _SLOW_S slow.
+# Re-pin for a new machine with:
+#   LLARK_RECORD_DURATIONS=1 python -m pytest tests/ -q
+# The _MEASURED_SLOW list below is the fallback when no recording exists
+# (kept from the original host). In-file @pytest.mark.slow marks compose.
 # ---------------------------------------------------------------------------
+import json  # noqa: E402
+
 import pytest  # noqa: E402
+
+_SLOW_S = 10.0
+_DURATIONS_FILE = os.path.join(os.path.dirname(__file__), ".durations.json")
+_RECORD = bool(os.environ.get("LLARK_RECORD_DURATIONS"))
+_RECORDED: dict = {}
+
+
+def pytest_runtest_logreport(report):
+    if _RECORD and report.when == "call":
+        # originalname semantics: parametrized cases collapse to their max
+        name = report.nodeid.split("::", 1)[-1].split("[", 1)[0]
+        base = f"{os.path.basename(report.nodeid.split('::')[0])}::{name}"
+        _RECORDED[base] = max(_RECORDED.get(base, 0.0), report.duration)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # only a full-suite recording run may re-pin (a -k / single-file subset
+    # must not rewrite the tier map from a sliver of the suite)
+    if _RECORD and len(_RECORDED) >= 200 and not session.config.option.keyword:
+        with open(_DURATIONS_FILE, "w") as f:
+            json.dump(dict(sorted(_RECORDED.items())), f, indent=0)
+
 
 _MEASURED_SLOW = {
     "test_beam.py::test_beam_improves_joint_logprob",
@@ -83,8 +111,24 @@ _MEASURED_SLOW = {
 }
 
 
+def _slow_set():
+    """Measured slow set: recorded durations when available (per-host,
+    regenerated by LLARK_RECORD_DURATIONS runs), else the frozen list."""
+    try:
+        with open(_DURATIONS_FILE) as f:
+            durations = json.load(f)
+    except (OSError, ValueError):
+        return _MEASURED_SLOW
+    slow = {k for k, v in durations.items() if v >= _SLOW_S}
+    # tests never measured on this host (added since the recording) keep
+    # their original-host tier so they don't silently bloat the fast lane
+    slow |= {t for t in _MEASURED_SLOW if t not in durations}
+    return slow
+
+
 def pytest_collection_modifyitems(config, items):
+    slow = _slow_set()
     for item in items:
         base = f"{item.fspath.basename}::{item.originalname or item.name}"
-        if base in _MEASURED_SLOW:
+        if base in slow:
             item.add_marker(pytest.mark.slow)
