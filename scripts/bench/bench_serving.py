@@ -138,23 +138,33 @@ def make_oracle(plain_out, p_accept):
 
 
 spec_mode = None
-p_accept = None
+p_accepts = []
 if args.spec:
     spec_mode = args.spec.split(":")[0]
     if spec_mode == "oracle":
-        p_accept = float(args.spec.split(":")[1])
+        # comma list sweeps several acceptance points through ONE compiled
+        # spec server (proposer is host state — swapping it never recompiles)
+        p_accepts = [float(x) for x in args.spec.split(":")[1].split(",")]
 
 if spec_mode == "oracle":
     server = build_server()
     plain_out, plain_stats = run(server)
     del server  # free the plain server's cache HBM before the spec server
-    spec_server = build_server("ngram", make_oracle(plain_out, p_accept))
-    out, stats = run(spec_server)
-    assert [r.tokens for r in out] == [r.tokens for r in plain_out], \
-        "speculative output diverged from plain greedy"
-    stats["plain_tokens_per_sec"] = plain_stats["tokens_per_sec"]
-    stats["p_accept"] = p_accept
-    stats["gamma"] = args.gamma
+    spec_server = build_server("ngram", make_oracle(plain_out, p_accepts[0]))
+    sweep = []
+    for p_accept in p_accepts:
+        spec_server.spec_proposer = make_oracle(plain_out, p_accept)
+        spec_server.spec_accepted = spec_server.spec_proposed = 0
+        out, stats = run(spec_server)
+        assert [r.tokens for r in out] == [r.tokens for r in plain_out], \
+            "speculative output diverged from plain greedy"
+        stats["plain_tokens_per_sec"] = plain_stats["tokens_per_sec"]
+        stats["p_accept"] = p_accept
+        stats["gamma"] = args.gamma
+        sweep.append(dict(stats))
+    if len(sweep) > 1:
+        for row in sweep[:-1]:
+            print(row)
 elif spec_mode == "ngram":
     server = build_server("ngram")
     out, stats = run(server)
