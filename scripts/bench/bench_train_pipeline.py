@@ -102,7 +102,15 @@ def build_step(cfg: ModelConfig):
         make_train_step(cfg, optimizer, audio_patch_id=50368),
         donate_argnums=(0,),
     )
-    return state, step_fn
+    return state, step_fn, optimizer
+
+
+def rebuild_state(cfg: ModelConfig, optimizer):
+    """Fresh TrainState for the compute-only leg — the caller must have
+    dropped the pipeline leg's state first (MPT-1B params+adam are ~7.8 GB
+    in bf16; two states OOM a 16 GB chip)."""
+    params = jax.jit(lambda k: init_llark_params(cfg, k))(jax.random.PRNGKey(0))
+    return jax.jit(lambda p: TrainState.create(p, optimizer))(params)
 
 
 def run_loop(state, step_fn, batches, sync_every: int, next_times=None):
@@ -184,7 +192,7 @@ def main():
         num_workers=args.num_workers,
     )
 
-    state, step_fn = build_step(cfg)
+    state, step_fn, optimizer = build_step(cfg)
 
     # warmup/compile on one pipeline batch
     it = make_dataset_iterator(
@@ -221,14 +229,15 @@ def main():
     }
 
     if not args.skip_compute_baseline:
-        # compute-only baseline: same steps, same sync pattern, one batch
-        state2, step_fn2 = build_step(cfg)
-        dev = {k: jax.device_put(v) for k, v in first.items() if k != "example_ids"}
-        state2, metrics = step_fn2(state2, dev)
-        sync(metrics["loss"])
+        # compute-only baseline: same steps, same sync pattern, one batch.
+        # Reuse the pipeline leg's COMPILED program (a second build_step
+        # would recompile for minutes through the tunnel) and free its
+        # state first (two MPT-1B states OOM the chip).
+        del state, metrics
+        state2 = rebuild_state(cfg, optimizer)
         t0 = time.perf_counter()
         state2, walls2, _ = run_loop(
-            state2, step_fn2, (first for _ in range(n_steps)), args.sync_every
+            state2, step_fn, (first for _ in range(n_steps)), args.sync_every
         )
         comp_wall = time.perf_counter() - t0
         results["compute_ms_per_step"] = round(1e3 * comp_wall / max(n_steps, 1), 1)
