@@ -65,6 +65,12 @@ class ModelConfig:
     # dominates; scan for single-stream (measured on chip; PERFORMANCE.md)
     decode_unroll_layers: Optional[bool] = None
     remat: bool = True
+    # remat policy: "full" recomputes the whole layer in the backward;
+    # "dots" saves matmul outputs and recomputes only elementwise/norms
+    # (jax dots_with_no_batch_dims_saveable) — measured on v5e MPT-1B
+    # b4xs2048, full remat spends ~21% of the step recomputing forwards
+    # the dots policy keeps (see PERFORMANCE.md round-3 profile)
+    remat_policy: str = "full"
     # from-scratch init scheme: kaiming | xavier | small
     # (reference: m2t/llava/model/mpt/param_init_fns.py MODEL_INIT_REGISTRY)
     init_scheme: str = "kaiming"

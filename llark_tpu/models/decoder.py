@@ -583,7 +583,33 @@ def decoder_forward(
         return out, aux
 
     if cfg.remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        policy = None
+        if cfg.remat_policy == "dots":
+            # keep every matmul output; recompute only the cheap tail
+            # (norms, activations, residual adds) in the backward
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif cfg.remat_policy == "dots_narrow":
+            # like "dots", but drop WIDE dot outputs (the 4h MLP hidden is
+            # by far the largest saved buffer — [L,B,S,4h] OOM'd a 16 GB
+            # chip at MPT-1B b4xs2048); the backward re-runs just that one
+            # up-projection per layer (~4% extra FLOPs vs full remat's ~21%)
+            wide = 3 * cfg.hidden_size
+
+            def policy(prim, *avals, **params):
+                if prim.name != "dot_general":
+                    return False
+                (_, rhs_c), (lhs_b, rhs_b) = params["dimension_numbers"]
+                if lhs_b or rhs_b:
+                    return False  # attention score/prob matrices
+                rhs = avals[1].shape
+                out_feat = 1
+                for i, d in enumerate(rhs):
+                    if i not in rhs_c:
+                        out_feat *= d
+                return out_feat < wide
+        elif cfg.remat_policy != "full":
+            raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     unroll = cfg.decode_unroll_layers
     if unroll is None and kv_cache is not None:

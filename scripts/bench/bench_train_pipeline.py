@@ -151,6 +151,8 @@ def main():
     p.add_argument("--seq", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--skip-compute-baseline", action="store_true")
+    p.add_argument("--remat-policy", default="full", choices=["full", "dots", "dots_narrow"])
+    p.add_argument("--no-remat", action="store_true")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -171,6 +173,9 @@ def main():
         # (scripts/bench/bench_mpt1b.py:144 — fp32 masters are a DP concern)
         cfg = ModelConfig.mpt_1b(param_dtype="bfloat16", dtype="bfloat16")
         cfg.mm_hidden_size = MM
+    cfg.remat_policy = args.remat_policy
+    if args.no_remat:
+        cfg.remat = False
 
     if args.make_data or not os.path.isdir(args.data_dir):
         t0 = time.perf_counter()
@@ -217,6 +222,7 @@ def main():
     results = {
         "device": str(jax.devices()[0].device_kind),
         "config": args.config,
+        "remat": "off" if args.no_remat else args.remat_policy,
         "batch": BATCH,
         "seq": SEQ,
         "steps": n_steps,

@@ -290,3 +290,39 @@ def test_chunked_loss_matches_full():
     g1 = jax.grad(f_full)(params)["lm_head"]
     g2 = jax.grad(f_chunk)(params)["lm_head"]
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_remat_policies_do_not_change_math():
+    """remat trades memory for recompute, never values: loss and grads are
+    identical across full / dots / dots_narrow policies and remat off."""
+    from llark_tpu.config import TrainingArguments
+    from llark_tpu.train.state import TrainState
+    from llark_tpu.train.step import make_optimizer, make_train_step
+
+    rng = np.random.RandomState(0)
+    B, S, T = 2, 16, 2
+    ids = np.full((B, S), 3, np.int32)
+    ids[:, 1:1 + T] = 7
+    labels = np.where(np.arange(S)[None, :] >= S // 2, ids, IGNORE_INDEX)
+    batch = {
+        "input_ids": ids,
+        "labels": labels.astype(np.int32),
+        "seq_lengths": np.full((B,), S, np.int32),
+        "audio_encodings": rng.randn(B, T, 8).astype(np.float32),
+        "audio_frame_counts": np.full((B,), T, np.int32),
+    }
+    got = {}
+    for remat, policy in ((False, "full"), (True, "full"), (True, "dots"),
+                          (True, "dots_narrow")):
+        cfg = ModelConfig.tiny(dtype="float32", param_dtype="float32",
+                               mm_hidden_size=8)
+        cfg.remat, cfg.remat_policy = remat, policy
+        params = init_llark_params(cfg, jax.random.PRNGKey(0))
+        opt = make_optimizer(TrainingArguments(max_steps=10), params)
+        step = make_train_step(cfg, opt, audio_patch_id=7)
+        _, m = jax.jit(step)(TrainState.create(params, opt),
+                             jax.tree.map(jnp.asarray, batch))
+        got[(remat, policy)] = (float(m["loss"]), float(m["grad_norm"]))
+    base = got[(False, "full")]
+    for k, v in got.items():
+        np.testing.assert_allclose(v, base, rtol=1e-6, err_msg=str(k))
