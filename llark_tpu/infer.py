@@ -165,6 +165,9 @@ def batch_infer_continuous(
     gamma: int = 4,
     spec_rounds: int = 2,
     prefix_cache: bool = False,
+    spec_mode: Optional[str] = None,  # "ngram": draft-free host proposals
+    kv_block_size: Optional[int] = None,  # paged KV (inference/paged.py)
+    kv_pool_blocks: Optional[int] = None,
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
     (llark_tpu/inference/server.py): all rows stream through `max_batch`
@@ -210,6 +213,9 @@ def batch_infer_continuous(
         gamma=gamma,
         spec_rounds=spec_rounds,
         shared_prefix_ids=shared_prefix,
+        spec_mode=spec_mode,
+        kv_block_size=kv_block_size,
+        kv_pool_blocks=kv_pool_blocks,
     )
     server.serve(requests)
     return [

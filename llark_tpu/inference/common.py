@@ -51,6 +51,15 @@ def add_generation_args(p) -> None:
     p.add_argument("--kv-cache-int8", action="store_true",
                    help="store the KV cache as int8 with per-position scales "
                         "(half the cache memory -> 2x slots/context)")
+    p.add_argument("--kv-block-size", type=int, default=None,
+                   help="with --continuous-batching: paged KV — the cache "
+                        "becomes a physical block pool of this block size "
+                        "with per-slot block tables; HBM scales with the "
+                        "live-token budget instead of slots x max-cache-len")
+    p.add_argument("--kv-pool-blocks", type=int, default=None,
+                   help="physical pool size for --kv-block-size, including "
+                        "one parking block per slot (default: dense-"
+                        "equivalent capacity)")
     p.add_argument("--num-beams", type=int, default=1,
                    help="beam search width (1 = greedy/sampling; the HF "
                         "generate num_beams counterpart)")
@@ -86,14 +95,21 @@ def check_serving_args(args) -> None:
     """Reject flag combinations that would otherwise be silently ignored."""
     if getattr(args, "continuous_batching", 0):
         spec = getattr(args, "speculative", "off")
-        if spec == "ngram":
-            raise SystemExit(
-                "--speculative ngram is not supported with "
-                "--continuous-batching (prompt-lookup drafting is host-side; "
-                "use --speculative draft with a draft checkpoint)"
-            )
         if spec == "draft" and not getattr(args, "draft_checkpoint_dir", None):
             raise SystemExit("--speculative draft requires --draft-checkpoint-dir")
+        if getattr(args, "kv_block_size", None):
+            if spec == "draft":
+                raise SystemExit(
+                    "--kv-block-size (paged KV) does not compose with "
+                    "--speculative draft; use --speculative ngram"
+                )
+            if getattr(args, "prefix_cache", False):
+                raise SystemExit(
+                    "--kv-block-size (paged KV) does not compose with "
+                    "--prefix-cache"
+                )
+    elif getattr(args, "kv_block_size", None):
+        raise SystemExit("--kv-block-size requires --continuous-batching")
     pfc = getattr(args, "prefill_chunk", None)
     if pfc is not None:
         if not getattr(args, "continuous_batching", 0):

@@ -82,6 +82,9 @@ def main(argv=None):
             gamma=args.gamma,
             spec_rounds=args.spec_rounds,
             prefix_cache=args.prefix_cache,
+            spec_mode="ngram" if args.speculative == "ngram" else None,
+            kv_block_size=args.kv_block_size,
+            kv_pool_blocks=args.kv_pool_blocks,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

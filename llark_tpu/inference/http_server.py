@@ -248,9 +248,10 @@ def main(argv=None):
     p.add_argument("--prompt-buckets", default="128,512")
     add_generation_args(p)
     args = p.parse_args(argv)
-    # the daemon IS the continuous-batching engine: beam/ngram flags are
+    # the daemon IS the continuous-batching engine: beam flags are
     # rejected (not silently ignored); --speculative draft runs the fused
-    # draft-verify rounds inside the slot engine
+    # draft-verify rounds inside the slot engine, --speculative ngram the
+    # host-proposal verify rounds, --kv-block-size the paged cache
     check_serving_args(args)
 
     cfg, params, bundle = load_pretrained_model(args.checkpoint_dir, args.ckpt_num)
@@ -273,6 +274,9 @@ def main(argv=None):
         draft_params=draft_params,
         gamma=args.gamma,
         spec_rounds=args.spec_rounds,
+        spec_mode="ngram" if args.speculative == "ngram" else None,
+        kv_block_size=args.kv_block_size,
+        kv_pool_blocks=args.kv_pool_blocks,
     )
     httpd, engine = serve_http(server, bundle, args.host, args.port)
     log.info("serving on %s:%d (%d slots)", args.host, args.port,

@@ -84,6 +84,7 @@ class BatchedServer:
         spec_mode: Optional[str] = None,
         spec_proposer=None,
         ngram_max_k: int = 3,
+        spec_force_accept: Optional[float] = None,
         kv_block_size: Optional[int] = None,
         kv_pool_blocks: Optional[int] = None,
     ):
@@ -230,6 +231,15 @@ class BatchedServer:
         self.ngram_max_k = int(ngram_max_k)
         self.spec_accepted = 0  # host-spec acceptance counters (stats())
         self.spec_proposed = 0
+        # BENCH-ONLY: override the verify result with a host-drawn
+        # per-proposal acceptance of this probability. Device work is
+        # unchanged (same verify forward, same writes); only the accept
+        # decision is forced, so throughput-vs-acceptance curves can be
+        # measured with random weights, whose near-tie argmaxes flip
+        # between the decode and verify graph shapes in bf16 and crush
+        # natural acceptance. Output tokens are NOT meaningful under this.
+        self.spec_force_accept = spec_force_accept
+        self._force_rng = np.random.RandomState(1234)
         if spec_mode is not None:
             if spec_mode != "ngram":
                 raise ValueError(f"unknown spec_mode {spec_mode!r}")
@@ -741,6 +751,12 @@ class BatchedServer:
         )
         for i in active:
             n = int(n_emit[i])
+            if self.spec_force_accept is not None:
+                n = 1
+                while n <= g and (
+                    self._force_rng.random_sample() < self.spec_force_accept
+                ):
+                    n += 1
             self.spec_accepted += n - 1
             self.spec_proposed += g
             finished = False

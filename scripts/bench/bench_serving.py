@@ -141,12 +141,37 @@ spec_mode = None
 p_accepts = []
 if args.spec:
     spec_mode = args.spec.split(":")[0]
-    if spec_mode == "oracle":
+    if spec_mode in ("oracle", "forced"):
         # comma list sweeps several acceptance points through ONE compiled
         # spec server (proposer is host state — swapping it never recompiles)
         p_accepts = [float(x) for x in args.spec.split(":")[1].split(",")]
 
-if spec_mode == "oracle":
+if spec_mode == "forced":
+    # throughput-vs-acceptance MECHANICS: identical device work per round,
+    # accept decision drawn at rate P on the host (random 7B weights make
+    # natural greedy acceptance meaningless — near-tie argmaxes flip
+    # between the decode and verify graph shapes in bf16)
+    server = build_server()
+    _, plain_stats = run(server)
+    del server
+    spec_server = build_server("ngram")
+    sweep = []
+    for p_accept in p_accepts:
+        import numpy as _np
+
+        spec_server.spec_force_accept = p_accept
+        spec_server._force_rng = _np.random.RandomState(1234)
+        spec_server.spec_accepted = spec_server.spec_proposed = 0
+        out, stats = run(spec_server)
+        stats["plain_tokens_per_sec"] = plain_stats["tokens_per_sec"]
+        stats["p_accept"] = p_accept
+        stats["gamma"] = args.gamma
+        stats["forced"] = True
+        sweep.append(dict(stats))
+    if len(sweep) > 1:
+        for row in sweep[:-1]:
+            print(row)
+elif spec_mode == "oracle":
     server = build_server()
     plain_out, plain_stats = run(server)
     del server  # free the plain server's cache HBM before the spec server
@@ -156,8 +181,18 @@ if spec_mode == "oracle":
         spec_server.spec_proposer = make_oracle(plain_out, p_accept)
         spec_server.spec_accepted = spec_server.spec_proposed = 0
         out, stats = run(spec_server)
-        assert [r.tokens for r in out] == [r.tokens for r in plain_out], \
-            "speculative output diverged from plain greedy"
+        # bf16 caveat: the 1-token decode and (gamma+1)-token verify graphs
+        # round matmuls differently, so near-tie argmaxes can flip between
+        # the plain and speculative runs (greedy exactness holds in fp32 —
+        # unit tests + the on-chip drive). Report the divergence rate
+        # instead of failing the bench; diverged rows also depress measured
+        # acceptance below p_accept (the oracle proposes the PLAIN tokens).
+        div = sum(
+            1 for a, b in zip(out, plain_out) if a.tokens != b.tokens
+        )
+        if cfg.dtype == "float32":
+            assert div == 0, "speculative output diverged in fp32"
+        stats["diverged_requests"] = div
         stats["plain_tokens_per_sec"] = plain_stats["tokens_per_sec"]
         stats["p_accept"] = p_accept
         stats["gamma"] = args.gamma

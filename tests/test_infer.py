@@ -242,3 +242,54 @@ def test_infer_from_encodings_cli_speculative_draft(trained_ckpt, tmp_path):
     with open(b_csv) as f:
         b = [r["model_completion"] for r in csv.DictReader(f)]
     assert a == b
+
+
+def test_infer_cli_continuous_ngram_and_paged(trained_ckpt, tmp_path):
+    """Round-3 serving features through the REAL CLI surface:
+    --continuous-batching with --speculative ngram (draft-free verify
+    rounds) and with --kv-block-size (paged KV) both reproduce the
+    plain continuous-batching completions exactly."""
+    from llark_tpu.inference.from_webdataset import main
+
+    common = [
+        "--checkpoint-dir", str(trained_ckpt / "ckpt"),
+        "--input", str(trained_ckpt / "mir-train-00000.tar"),
+        "--max-samples", "3",
+        "--max-new-tokens", "4",
+        "--max-cache-len", "256",
+        "--continuous-batching", "2",
+    ]
+    outs = {}
+    for name, extra in (
+        ("plain", []),
+        ("ngram", ["--speculative", "ngram", "--gamma", "3"]),
+        ("paged", ["--kv-block-size", "64", "--kv-pool-blocks", "8"]),
+        ("paged_ngram", ["--kv-block-size", "64", "--kv-pool-blocks", "8",
+                         "--speculative", "ngram", "--gamma", "3"]),
+    ):
+        csv_path = str(tmp_path / f"cli_{name}.csv")
+        main(common + ["--output", csv_path] + extra)
+        with open(csv_path) as f:
+            outs[name] = [r["model_completion"] for r in csv.DictReader(f)]
+    assert outs["ngram"] == outs["plain"]
+    assert outs["paged"] == outs["plain"]
+    assert outs["paged_ngram"] == outs["plain"]
+
+
+def test_paged_cli_flag_validation(trained_ckpt, tmp_path):
+    """--kv-block-size without --continuous-batching, or combined with
+    --speculative draft / --prefix-cache, exits with a clear error."""
+    import pytest
+
+    from llark_tpu.inference.from_webdataset import main
+
+    base = [
+        "--checkpoint-dir", str(trained_ckpt / "ckpt"),
+        "--input", str(trained_ckpt / "mir-train-00000.tar"),
+        "--output", str(tmp_path / "x.csv"),
+    ]
+    with pytest.raises(SystemExit, match="continuous-batching"):
+        main(base + ["--kv-block-size", "64"])
+    with pytest.raises(SystemExit, match="prefix-cache"):
+        main(base + ["--continuous-batching", "2", "--kv-block-size", "64",
+                     "--prefix-cache"])
