@@ -237,7 +237,9 @@ DEFAULT_ANNOTATORS = (
 
 def annotate_elem(elem: Dict[str, Any], annotators=None) -> Dict[str, Any]:
     """Run the full annotation chain on one element (the reference's
-    pipeline order, annotate_dataset.py:202-226)."""
-    for cls in annotators or DEFAULT_ANNOTATORS:
-        elem = cls()(elem)
+    pipeline order, annotate_dataset.py:202-226). Entries may be
+    annotator classes (instantiated with defaults) or pre-built
+    instances (e.g. neural annotators with a custom weights path)."""
+    for ann in annotators or DEFAULT_ANNOTATORS:
+        elem = (ann() if isinstance(ann, type) else ann)(elem)
     return elem

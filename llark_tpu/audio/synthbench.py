@@ -144,7 +144,10 @@ def make_clip(seed: int, seconds: float = 12.0, sr: int = SR,
     bpb = int(rng.choice([3, 4]))
     beat = 60.0 / bpm
     n_total = int(seconds * sr)
-    audio = np.zeros(n_total + sr, np.float32)
+    # 2 s tail pad: a note may start just under `seconds` and ring for up
+    # to 1.5 s (n_note below), so 1 s was overrun-prone at slow tempi.
+    # The pad is trimmed before return, so in-range clips are unchanged.
+    audio = np.zeros(n_total + 2 * sr, np.float32)
 
     triads = MAJOR_TRIADS if mode == "major" else MINOR_TRIADS
     # progression: start on the tonic, then random diatonic bars
@@ -304,7 +307,10 @@ def chord_frame_recall(pred: List[Dict], truth: List[Dict], seconds: float,
 
 def run_benchmark(n: int = 40, seconds: float = 12.0, seed: int = 0,
                   verbose: bool = False,
-                  family: str = "additive") -> Dict[str, float]:
+                  family: str = "additive",
+                  annotators=None) -> Dict[str, float]:
+    """Score an annotator chain (default: the DSP annotators; pass
+    `llark_tpu.audio.neural.neural_annotators()` for the trained models)."""
     from llark_tpu.evaluation.utils import mirex_key_score
 
     key_exact = key_mirex = 0.0
@@ -313,7 +319,8 @@ def run_benchmark(n: int = 40, seconds: float = 12.0, seed: int = 0,
     n_tonal = 0  # clips whose truth defines key/chords ("perc" has none)
     for i in range(n):
         audio, truth = make_clip(seed * 10_000 + i, seconds, family=family)
-        elem = annotate_elem({"audio": audio, "audio_sample_rate": SR})
+        elem = annotate_elem({"audio": audio, "audio_sample_rate": SR},
+                             annotators=annotators)
         if truth["key"] is not None:
             n_tonal += 1
             key_exact += float(elem["key"] == truth["key"])
@@ -356,12 +363,21 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--family", default="additive",
                     help=f"one of {FAMILIES} or 'all'")
+    ap.add_argument("--neural", action="store_true",
+                    help="score the trained neural annotators instead of "
+                         "the DSP chain")
     ap.add_argument("--verbose", action="store_true")
     ns = ap.parse_args(argv)
+    chain = None
+    if ns.neural:
+        from llark_tpu.audio.neural import neural_annotators
+
+        chain = neural_annotators()
     families = FAMILIES if ns.family == "all" else (ns.family,)
     all_scores = {}
     for fam in families:
-        scores = run_benchmark(ns.n, ns.seconds, ns.seed, ns.verbose, family=fam)
+        scores = run_benchmark(ns.n, ns.seconds, ns.seed, ns.verbose,
+                               family=fam, annotators=chain)
         all_scores[fam] = scores
         print(f"--- family: {fam}")
         for k, v in scores.items():
