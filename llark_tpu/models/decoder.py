@@ -340,30 +340,43 @@ def _layer_forward(
                     "server's block insert)"
                 )
             # paged decode write: token t of row b lands at
-            # pool[table[b, pos_t // bk], :, pos_t % bk]. Indices are
-            # unique by construction (rows own disjoint blocks incl. their
-            # parking block), so the scatter compiles without combining.
+            # pool[table[b, pos_t // bk], :, pos_t % bk]. Written as a
+            # per-(row, token) dynamic-update-slice chain, NOT one
+            # scatter: a scatter over (block, offset) prefers a
+            # token-major operand layout (heads minor), and XLA then
+            # relayout-COPIES the whole pool at program entry — 2.25 GB
+            # per side for the 7B serving pool, which both OOMs the chip
+            # and breaks donation aliasing. DUS has no layout preference,
+            # so the pool keeps the default layout the Pallas decode
+            # kernel consumes and every update applies in place. The
+            # chain is B*s updates of [1, Hkv, 1, D] — decode has s=1 and
+            # B <= slots, so it stays tiny.
             bk = k_cache.shape[2]
             pos = cache_positions[:, None] + jnp.arange(s, dtype=jnp.int32)
             blk = jnp.take_along_axis(block_tables, pos // bk, axis=1)
             off = pos % bk  # [B, s]
-            new_k_cache = k_cache.at[blk, :, off].set(
-                k_store.transpose(0, 2, 1, 3).astype(k_cache.dtype),
-                unique_indices=True, mode="promise_in_bounds",
-            )
-            new_v_cache = v_cache.at[blk, :, off].set(
-                v_store.transpose(0, 2, 1, 3).astype(v_cache.dtype),
-                unique_indices=True, mode="promise_in_bounds",
-            )
+            kst = k_store.astype(k_cache.dtype)  # [B, Hkv, s, D]
+            vst = v_store.astype(v_cache.dtype)
+            new_k_cache, new_v_cache = k_cache, v_cache
             if quant:
-                new_ks = k_scale_cache.at[blk, :, off].set(
-                    k_sc.transpose(0, 2, 1),
-                    unique_indices=True, mode="promise_in_bounds",
-                )
-                new_vs = v_scale_cache.at[blk, :, off].set(
-                    v_sc.transpose(0, 2, 1),
-                    unique_indices=True, mode="promise_in_bounds",
-                )
+                new_ks, new_vs = k_scale_cache, v_scale_cache
+            zero = jnp.zeros((), jnp.int32)
+            for bi in range(b):
+                for si in range(s):
+                    at = (blk[bi, si], zero, off[bi, si], zero)
+                    new_k_cache = jax.lax.dynamic_update_slice(
+                        new_k_cache, kst[bi : bi + 1, :, si : si + 1], at
+                    )
+                    new_v_cache = jax.lax.dynamic_update_slice(
+                        new_v_cache, vst[bi : bi + 1, :, si : si + 1], at
+                    )
+                    if quant:
+                        new_ks = jax.lax.dynamic_update_slice(
+                            new_ks, k_sc[bi : bi + 1, :, si : si + 1], at[:3]
+                        )
+                        new_vs = jax.lax.dynamic_update_slice(
+                            new_vs, v_sc[bi : bi + 1, :, si : si + 1], at[:3]
+                        )
             q_offset = cache_positions
             cache_kv_lengths = cache_positions + s
         elif cache_positions is not None:
