@@ -168,6 +168,7 @@ def batch_infer_continuous(
     spec_mode: Optional[str] = None,  # "ngram": draft-free host proposals
     kv_block_size: Optional[int] = None,  # paged KV (inference/paged.py)
     kv_pool_blocks: Optional[int] = None,
+    admit_batch: Optional[int] = None,  # transient-HBM admission knob
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
     (llark_tpu/inference/server.py): all rows stream through `max_batch`
@@ -216,6 +217,7 @@ def batch_infer_continuous(
         spec_mode=spec_mode,
         kv_block_size=kv_block_size,
         kv_pool_blocks=kv_pool_blocks,
+        admit_batch=admit_batch,
     )
     server.serve(requests)
     return [

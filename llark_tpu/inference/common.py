@@ -60,6 +60,12 @@ def add_generation_args(p) -> None:
                    help="physical pool size for --kv-block-size, including "
                         "one parking block per slot (default: dense-"
                         "equivalent capacity)")
+    p.add_argument("--admit-batch", type=int, default=None,
+                   help="with --continuous-batching: admission prefill rows "
+                        "per dispatch (default: all slots). The transient-"
+                        "HBM knob — the bucket-sized admission cache "
+                        "coexists with weights + the persistent cache, so "
+                        "high slot counts need a smaller admission batch")
     p.add_argument("--num-beams", type=int, default=1,
                    help="beam search width (1 = greedy/sampling; the HF "
                         "generate num_beams counterpart)")
@@ -116,6 +122,12 @@ def check_serving_args(args) -> None:
             raise SystemExit("--prefill-chunk requires --continuous-batching")
         if pfc < 1:
             raise SystemExit("--prefill-chunk must be >= 1")
+    ab = getattr(args, "admit_batch", None)
+    if ab is not None:
+        if not getattr(args, "continuous_batching", 0):
+            raise SystemExit("--admit-batch requires --continuous-batching")
+        if ab < 1:
+            raise SystemExit("--admit-batch must be >= 1")
     if getattr(args, "num_beams", 1) > 1:
         if getattr(args, "continuous_batching", 0):
             raise SystemExit("--num-beams is not supported with --continuous-batching")

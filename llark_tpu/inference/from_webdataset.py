@@ -97,6 +97,7 @@ def main(argv=None):
             spec_mode="ngram" if args.speculative == "ngram" else None,
             kv_block_size=args.kv_block_size,
             kv_pool_blocks=args.kv_pool_blocks,
+            admit_batch=args.admit_batch,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

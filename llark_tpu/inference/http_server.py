@@ -277,6 +277,7 @@ def main(argv=None):
         spec_mode="ngram" if args.speculative == "ngram" else None,
         kv_block_size=args.kv_block_size,
         kv_pool_blocks=args.kv_pool_blocks,
+        admit_batch=args.admit_batch,
     )
     httpd, engine = serve_http(server, bundle, args.host, args.port)
     log.info("serving on %s:%d (%d slots)", args.host, args.port,

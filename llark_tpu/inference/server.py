@@ -87,6 +87,7 @@ class BatchedServer:
         spec_force_accept: Optional[float] = None,
         kv_block_size: Optional[int] = None,
         kv_pool_blocks: Optional[int] = None,
+        admit_batch: Optional[int] = None,
     ):
         if cfg.use_flash_decode is None:
             # serving regime: the cache is provisioned for max context and
@@ -101,6 +102,14 @@ class BatchedServer:
         self.audio_patch_id = audio_patch_id
         self.gen_cfg = gen_cfg or GenerationConfig()
         self.max_batch = max_batch
+        # admission prefill batch: the transient-HBM knob. The bucket-sized
+        # admission cache ([L, admit_batch, Hkv, bucket, D]) coexists with
+        # weights + the persistent cache/pool while requests splice in, so
+        # at high slot counts a full max_batch-row prefill can tip the chip
+        # over (measured: 7B int8, 12 slots x 1024-bucket admission OOMs
+        # where 8 fits). Smaller admit_batch trades burst-admission latency
+        # (ceil(burst / admit_batch) prefill dispatches) for peak memory.
+        self.admit_batch = min(admit_batch or max_batch, max_batch)
         self.max_cache_len = max_cache_len
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.max_audio_frames = max_audio_frames
@@ -157,8 +166,16 @@ class BatchedServer:
                     cfg, params, ids, audio, audio_patch_id, fcnt
                 )
             )
-            self._prefill_chunk = jax.jit(make_prefill_chunk_fn(cfg))
-            self._prefill_last = jax.jit(make_prefill_last_fn(cfg))
+            # donate the threaded admission cache: without it each chunk
+            # step holds input+output copies of the bucket-sized cache
+            # (~1.6 GB at 7B int8, 6-row x 1024 admission) — measured as
+            # the transient that tipped 12-slot paged serving over HBM
+            self._prefill_chunk = jax.jit(
+                make_prefill_chunk_fn(cfg), donate_argnums=(3,)
+            )
+            self._prefill_last = jax.jit(
+                make_prefill_last_fn(cfg), donate_argnums=(3,)
+            )
         self._decode_n = jax.jit(
             make_multistep_decode_fn(cfg, self.gen_cfg, decode_chunk),
             donate_argnums=(2,),
@@ -385,7 +402,7 @@ class BatchedServer:
         fn = self._seed_by_total.get(key)
         if fn is None:
             cfg = self.cfg if which == "t" else self.draft_cfg
-            k = self.max_batch
+            k = self.admit_batch
 
             def seed(prefix_cache):
                 from llark_tpu.models.decoder import init_kv_cache
@@ -465,7 +482,7 @@ class BatchedServer:
             pending_blocks: List[List[int]] = []
             while (
                 self._queue
-                and len(group) < len(slots)
+                and len(group) < min(len(slots), self.admit_batch)
                 and self._check_prefix(self._queue[0]) is None
                 and self._bucket(self._suffix_len(self._queue[0])) == head_bucket
             ):
@@ -486,7 +503,7 @@ class BatchedServer:
                 break  # pool exhausted: decode on, admit after retirements
             # fixed admission batch (pad with plen=1 dummies): one prefill
             # program per bucket, independent of how many requests arrived
-            k = self.max_batch
+            k = self.admit_batch
             ids = np.zeros((k, head_bucket), np.int32)
             plens = np.ones((k,), np.int32)
             audio = np.zeros((k, self.max_audio_frames, self.cfg.mm_hidden_size), np.float32)

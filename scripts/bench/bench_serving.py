@@ -60,6 +60,9 @@ ap.add_argument("--paged", type=int, default=0, metavar="BLOCK",
 ap.add_argument("--pool-blocks", type=int, default=0,
                 help="physical pool size incl. per-slot parking blocks "
                      "(default: dense-equivalent HBM + parking)")
+ap.add_argument("--admit-batch", type=int, default=0,
+                help="admission prefill rows per dispatch (default: slots); "
+                     "the transient-HBM knob for high slot counts")
 args = ap.parse_args()
 n_req = args.requests or max(12, 3 * args.slots)
 prompts = []
@@ -92,6 +95,7 @@ def build_server(spec_mode=None, proposer=None):
         prompt_buckets=(args.bucket,),
         max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
         spec_mode=spec_mode, spec_proposer=proposer, gamma=args.gamma,
+        admit_batch=args.admit_batch or None,
         **paged_kw,
     )
 
@@ -222,6 +226,8 @@ rates = [
 stats["ngram_acceptance_g4"] = round(float(np.mean(rates)), 3) if rates else None
 stats["slots"] = args.slots
 stats["max_cache_len"] = args.max_cache_len
+if args.admit_batch:
+    stats["admit_batch"] = args.admit_batch
 if args.paged:
     stats["kv_block_size"] = args.paged
     stats["kv_pool_blocks"] = args.pool_blocks or (

@@ -266,3 +266,25 @@ def test_paged_server_with_ngram_spec(setup):
     )
     out = server.serve([Request(ids, audio) for ids, audio in reqs])
     assert [r.tokens for r in out] == ref
+
+
+def test_server_admit_batch_one_matches_generator(setup):
+    """admit_batch=1 (the transient-HBM knob: each admission prefills a
+    single row) still produces the exact one-shot greedy tokens — both on
+    the dense cache and through the paged block pool."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    for paged_kw in ({}, {"kv_block_size": 16, "kv_pool_blocks": 3 + 9}):
+        server = BatchedServer(
+            cfg, params, bundle.audio_patch_id,
+            GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                             stop_text="", decode_chunk=2),
+            max_batch=3, max_cache_len=64, prompt_buckets=(16,),
+            max_audio_frames=4, decode_chunk=2, admit_batch=1,
+            **paged_kw,
+        )
+        assert server.admit_batch == 1
+        out = server.serve([Request(ids, audio) for ids, audio in reqs])
+        assert [r.tokens for r in out] == ref
