@@ -117,6 +117,35 @@ def make_prefill_chunk_fn(cfg: ModelConfig):
     return chunk
 
 
+def make_paged_prefill_chunk_fn(cfg: ModelConfig):
+    """Paged counterpart of make_prefill_chunk_fn: run one block-aligned
+    chunk of fused prompt embeddings and write its K/V STRAIGHT INTO the
+    pool blocks named by the cache's (admission-cropped) block tables —
+    no dense bucket cache, no post-prefill block insert. The transient-HBM
+    fix for high-slot paged admission (PERFORMANCE.md round 3).
+
+    Contract: `chunk_start` and the chunk length are multiples of the KV
+    block size, and cache["block_tables"] rows are each admitted row's
+    allocated span (pad rows -> their parking block)."""
+
+    def chunk(params, embeds, prompt_lengths, cache, chunk_start):
+        b = embeds.shape[0]
+        cpos = jnp.full((b,), chunk_start, jnp.int32)
+        _, cache = decoder_lib.decoder_forward(
+            cfg,
+            params,
+            inputs_embeds=embeds,
+            seq_lengths=prompt_lengths,
+            kv_cache=cache,
+            cache_positions=cpos,
+            return_hidden=True,
+            paged_chunk=True,
+        )
+        return cache
+
+    return chunk
+
+
 def make_prefill_last_fn(cfg: ModelConfig):
     """Jittable tail of a chunked prefill: re-run each row's LAST fused
     prompt embedding (an idempotent cache rewrite at plen-1) to obtain the

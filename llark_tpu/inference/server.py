@@ -323,6 +323,7 @@ class BatchedServer:
             self._tables_dirty = True
             self._slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
             self._paged_insert_by_n: Dict[int, Any] = {}
+            self._prefill_chunk_paged = None
 
         # persistent batched cache, built lazily from the first prefill's
         # row cache structure (avoids duplicating init_kv_cache shapes here)
@@ -526,7 +527,35 @@ class BatchedServer:
                     jnp.asarray(audio), jnp.asarray(fcnt), cache0,
                 )
             elif self.prefill_chunk is not None:
-                logits, new_cache = self._chunked_prefill(ids, plens, audio, fcnt)
+                admit_tables = None
+                if self.paged:
+                    # direct-to-pool prefill: hand the chunk programs each
+                    # admitted row's block span (pad rows -> their own
+                    # parking block); requires chunk-aligned buckets so the
+                    # padded span never outruns the allocated budget
+                    if head_bucket % self.prefill_chunk:
+                        raise ValueError(
+                            f"paged chunked prefill needs the prompt bucket "
+                            f"({head_bucket}) to be a multiple of "
+                            f"prefill_chunk ({self.prefill_chunk})"
+                        )
+                    if self._cache is None:
+                        from llark_tpu.models.decoder import init_paged_kv_cache
+
+                        self._cache = init_paged_kv_cache(
+                            self.cfg, self.max_batch, self.kv_pool_blocks,
+                            self.kv_block_size, self._max_blocks,
+                        )
+                    span = head_bucket // self.kv_block_size
+                    admit_tables = np.empty((k, span), np.int32)
+                    for j in range(k):
+                        if j < len(group):
+                            admit_tables[j, :] = pending_blocks[j][:span]
+                        else:
+                            admit_tables[j, :] = j  # parking block
+                logits, new_cache = self._chunked_prefill(
+                    ids, plens, audio, fcnt, admit_tables
+                )
             else:
                 if head_bucket not in self._prefill_by_bucket:
                     self._prefill_by_bucket[head_bucket] = jax.jit(
@@ -590,23 +619,28 @@ class BatchedServer:
                     self._host_tables[slot, :] = slot  # parking default
                     self._host_tables[slot, : len(blocks)] = blocks
                     self._tables_dirty = True
-                    insert = self._paged_insert_by_n.get(bucket_blocks)
-                    if insert is None:
-                        from llark_tpu.inference.paged import (
-                            make_block_insert_fn,
-                        )
+                    if new_cache is None:
+                        # direct-to-pool chunked prefill: the K/V already
+                        # sit in this row's blocks — nothing to insert
+                        pass
+                    else:
+                        insert = self._paged_insert_by_n.get(bucket_blocks)
+                        if insert is None:
+                            from llark_tpu.inference.paged import (
+                                make_block_insert_fn,
+                            )
 
-                        insert = jax.jit(
-                            make_block_insert_fn(
-                                self.kv_block_size, bucket_blocks
-                            ),
-                            donate_argnums=(0,),
+                            insert = jax.jit(
+                                make_block_insert_fn(
+                                    self.kv_block_size, bucket_blocks
+                                ),
+                                donate_argnums=(0,),
+                            )
+                            self._paged_insert_by_n[bucket_blocks] = insert
+                        self._cache = insert(
+                            self._cache, new_cache, j,
+                            jnp.asarray(blocks[:bucket_blocks], jnp.int32),
                         )
-                        self._paged_insert_by_n[bucket_blocks] = insert
-                    self._cache = insert(
-                        self._cache, new_cache, j,
-                        jnp.asarray(blocks[:bucket_blocks], jnp.int32),
-                    )
                 else:
                     self._cache = self._insert(self._cache, new_cache, j, slot)
                 if self.draft_cfg is not None:
@@ -619,7 +653,7 @@ class BatchedServer:
                 if self._absorb(slot, int(firsts[j])):  # may already be EOS
                     self._finish(slot)
 
-    def _chunked_prefill(self, ids, plens, audio, fcnt):
+    def _chunked_prefill(self, ids, plens, audio, fcnt, admit_tables=None):
         """Prefill one admission group in `prefill_chunk`-token chunks,
         running a decode round for the live slots between chunks. With the
         bf16 cache this is token-identical to one-shot prefill (attention
@@ -646,10 +680,58 @@ class BatchedServer:
                 "that divides the bucket or enlarge the cache"
             )
         padded = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0))) if pad else embeds
+        plens_j = jnp.asarray(plens)
+        if admit_tables is not None:
+            # paged direct-to-pool prefill: each chunk writes its K/V
+            # straight into the admitted rows' pool blocks (decoder
+            # paged_chunk path) — NO bucket-sized admission cache and no
+            # post-prefill block insert. This removes the transient that
+            # capped paged slot counts (PERFORMANCE.md round 3). The pool
+            # leaves shuttle between the chunk program and the persistent
+            # cache dict so interleaved decode rounds see every write.
+            if self.prefill_chunk % self.kv_block_size:
+                raise ValueError(
+                    f"paged chunked prefill needs prefill_chunk "
+                    f"({self.prefill_chunk}) to be a multiple of "
+                    f"kv_block_size ({self.kv_block_size})"
+                )
+            if self._prefill_chunk_paged is None:
+                from llark_tpu.generate import make_paged_prefill_chunk_fn
+
+                self._prefill_chunk_paged = jax.jit(
+                    make_paged_prefill_chunk_fn(self.cfg),
+                    donate_argnums=(3,),
+                )
+            pool_keys = [kk for kk in ("k", "v", "k_scale", "v_scale")
+                         if kk in self._cache]
+            tmp = {kk: self._cache[kk] for kk in pool_keys}
+            tmp["index"] = jnp.zeros((), jnp.int32)
+            tmp["block_tables"] = jnp.asarray(admit_tables)
+            for c in range(0, bucket + pad, self.prefill_chunk):
+                tmp = self._prefill_chunk_paged(
+                    self.params,
+                    jax.lax.dynamic_slice_in_dim(
+                        padded, c, self.prefill_chunk, axis=1
+                    ),
+                    plens_j,
+                    tmp,
+                    jnp.int32(c),
+                )
+                if c + self.prefill_chunk < bucket + pad:
+                    # hand the pool back for the interleaved decode, then
+                    # pick up its (donated-through) result
+                    for kk in pool_keys:
+                        self._cache[kk] = tmp[kk]
+                    self._decode_round()
+                    for kk in pool_keys:
+                        tmp[kk] = self._cache[kk]
+            logits, tmp = self._prefill_last(self.params, embeds, plens_j, tmp)
+            for kk in pool_keys:
+                self._cache[kk] = tmp[kk]
+            return logits, None
         # bucket-sized admission cache (see __init__ note): the row splice
         # into the persistent cache only reads the prompt positions
         cache = init_kv_cache(self.cfg, k, bucket + pad)
-        plens_j = jnp.asarray(plens)
         for c in range(0, bucket + pad, self.prefill_chunk):
             cache = self._prefill_chunk(
                 self.params,

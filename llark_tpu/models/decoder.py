@@ -310,6 +310,9 @@ def _layer_forward(
     v_scale_cache: Optional[jnp.ndarray] = None,
     block_tables: Optional[jnp.ndarray] = None,  # [B, max_blocks]: caches are
     # block POOLS [N, Hkv, block, D] (init_paged_kv_cache)
+    paged_chunk: bool = False,  # static: block-aligned multi-token prefill
+    # chunk straight into pool blocks (caller contract: cache_positions and
+    # s are both multiples of the block size)
 ) -> Tuple[jnp.ndarray, ...]:
     dtype = x.dtype
     b, s, h = x.shape
@@ -335,48 +338,82 @@ def _layer_forward(
         if block_tables is not None:
             if cache_positions is None:
                 raise ValueError(
-                    "paged caches only support ragged decode writes "
-                    "(prefill goes through dense bucket caches + the "
-                    "server's block insert)"
+                    "paged caches support ragged decode writes and "
+                    "block-aligned paged_chunk prefill (both keyed by "
+                    "cache_positions); scalar-index prefill goes through "
+                    "dense bucket caches + the server's block insert"
                 )
-            # paged decode write: token t of row b lands at
-            # pool[table[b, pos_t // bk], :, pos_t % bk]. Written as a
-            # per-(row, token) dynamic-update-slice chain, NOT one
-            # scatter: a scatter over (block, offset) prefers a
-            # token-major operand layout (heads minor), and XLA then
-            # relayout-COPIES the whole pool at program entry — 2.25 GB
-            # per side for the 7B serving pool, which both OOMs the chip
-            # and breaks donation aliasing. DUS has no layout preference,
-            # so the pool keeps the default layout the Pallas decode
-            # kernel consumes and every update applies in place. The
-            # chain is B*s updates of [1, Hkv, 1, D] — decode has s=1 and
-            # B <= slots, so it stays tiny.
             bk = k_cache.shape[2]
-            pos = cache_positions[:, None] + jnp.arange(s, dtype=jnp.int32)
-            blk = jnp.take_along_axis(block_tables, pos // bk, axis=1)
-            off = pos % bk  # [B, s]
             kst = k_store.astype(k_cache.dtype)  # [B, Hkv, s, D]
             vst = v_store.astype(v_cache.dtype)
             new_k_cache, new_v_cache = k_cache, v_cache
             if quant:
                 new_ks, new_vs = k_scale_cache, v_scale_cache
             zero = jnp.zeros((), jnp.int32)
-            for bi in range(b):
-                for si in range(s):
-                    at = (blk[bi, si], zero, off[bi, si], zero)
-                    new_k_cache = jax.lax.dynamic_update_slice(
-                        new_k_cache, kst[bi : bi + 1, :, si : si + 1], at
+            if paged_chunk:
+                # prefill-chunk bulk write: positions and s are block-
+                # aligned (server contract), so each row writes s//bk
+                # WHOLE blocks — B*(s//bk) DUS of [1, Hkv, bk, D] instead
+                # of the B*s per-token chain (which would not compile at
+                # s=256)
+                if s % bk:
+                    raise ValueError(
+                        f"paged_chunk requires the chunk ({s}) to be a "
+                        f"multiple of the KV block size ({bk})"
                     )
-                    new_v_cache = jax.lax.dynamic_update_slice(
-                        new_v_cache, vst[bi : bi + 1, :, si : si + 1], at
-                    )
-                    if quant:
-                        new_ks = jax.lax.dynamic_update_slice(
-                            new_ks, k_sc[bi : bi + 1, :, si : si + 1], at[:3]
+                start_blk = cache_positions // bk  # [B]
+                for bi in range(b):
+                    for mi in range(s // bk):
+                        blk_id = jnp.take(
+                            block_tables[bi], start_blk[bi] + mi, mode="clip"
                         )
-                        new_vs = jax.lax.dynamic_update_slice(
-                            new_vs, v_sc[bi : bi + 1, :, si : si + 1], at[:3]
+                        at = (blk_id, zero, zero, zero)
+                        lo, hi = mi * bk, (mi + 1) * bk
+                        new_k_cache = jax.lax.dynamic_update_slice(
+                            new_k_cache, kst[bi : bi + 1, :, lo:hi], at
                         )
+                        new_v_cache = jax.lax.dynamic_update_slice(
+                            new_v_cache, vst[bi : bi + 1, :, lo:hi], at
+                        )
+                        if quant:
+                            new_ks = jax.lax.dynamic_update_slice(
+                                new_ks, k_sc[bi : bi + 1, :, lo:hi], at[:3]
+                            )
+                            new_vs = jax.lax.dynamic_update_slice(
+                                new_vs, v_sc[bi : bi + 1, :, lo:hi], at[:3]
+                            )
+            else:
+                # paged decode write: token t of row b lands at
+                # pool[table[b, pos_t // bk], :, pos_t % bk]. Written as a
+                # per-(row, token) dynamic-update-slice chain, NOT one
+                # scatter: a scatter over (block, offset) prefers a
+                # token-major operand layout (heads minor), and XLA then
+                # relayout-COPIES the whole pool at program entry — 2.25 GB
+                # per side for the 7B serving pool, which both OOMs the chip
+                # and breaks donation aliasing. DUS has no layout preference,
+                # so the pool keeps the default layout the Pallas decode
+                # kernel consumes and every update applies in place. The
+                # chain is B*s updates of [1, Hkv, 1, D] — decode has s=1 and
+                # B <= slots, so it stays tiny.
+                pos = cache_positions[:, None] + jnp.arange(s, dtype=jnp.int32)
+                blk = jnp.take_along_axis(block_tables, pos // bk, axis=1)
+                off = pos % bk  # [B, s]
+                for bi in range(b):
+                    for si in range(s):
+                        at = (blk[bi, si], zero, off[bi, si], zero)
+                        new_k_cache = jax.lax.dynamic_update_slice(
+                            new_k_cache, kst[bi : bi + 1, :, si : si + 1], at
+                        )
+                        new_v_cache = jax.lax.dynamic_update_slice(
+                            new_v_cache, vst[bi : bi + 1, :, si : si + 1], at
+                        )
+                        if quant:
+                            new_ks = jax.lax.dynamic_update_slice(
+                                new_ks, k_sc[bi : bi + 1, :, si : si + 1], at[:3]
+                            )
+                            new_vs = jax.lax.dynamic_update_slice(
+                                new_vs, v_sc[bi : bi + 1, :, si : si + 1], at[:3]
+                            )
             q_offset = cache_positions
             cache_kv_lengths = cache_positions + s
         elif cache_positions is not None:
@@ -413,6 +450,27 @@ def _layer_forward(
             cache_kv_lengths = jnp.full((b,), cache_index + s, jnp.int32)
         if kv_lengths is not None:
             cache_kv_lengths = jnp.minimum(cache_kv_lengths, kv_lengths)
+        att_k, att_v, att_ks, att_vs = new_k_cache, new_v_cache, new_ks, new_vs
+        if paged_chunk:
+            # chunk queries attend their row's whole admission span: gather
+            # a dense per-row view from the pool (the tables passed for
+            # admission are cropped to the span, so this reads exactly the
+            # bucket-sized window the dense chunked path would read; the
+            # view is a per-layer transient, not a persistent cache) and
+            # fall through to the standard masked attention below.
+            span = block_tables.shape[1]
+
+            def _view(pool):
+                g = jnp.take(pool, block_tables, axis=0,
+                             mode="clip")  # [B, span, Hkv, bk(,D)]
+                g = jnp.moveaxis(g, 1, 2)  # [B, Hkv, span, bk(,D)]
+                return g.reshape(
+                    (b, pool.shape[1], span * bk) + pool.shape[3:]
+                )
+
+            att_k, att_v = _view(new_k_cache), _view(new_v_cache)
+            if quant:
+                att_ks, att_vs = _view(new_ks), _view(new_vs)
         if prefill_from_empty:
             # The cache held nothing before this call, so attention only
             # needs the in-flight K/V — S x S on the (Pallas-capable) fast
@@ -428,8 +486,8 @@ def _layer_forward(
                 block_q=cfg.attention_block_q,
                 block_k=cfg.attention_block_k,
             )
-        elif block_tables is not None:
-            # paged reads always dispatch through decode_attention: the
+        elif block_tables is not None and not paged_chunk:
+            # paged decode reads dispatch through decode_attention: the
             # Pallas kernel does the table indirection in its index_map on
             # TPU; elsewhere it gathers a dense per-row view first
             from llark_tpu.ops.decode_attention import decode_attention
@@ -447,7 +505,8 @@ def _layer_forward(
                 block_k=cfg.decode_block_k,
                 block_tables=block_tables,
             )
-        elif cache_positions is not None and s <= 16 and cfg.use_flash_decode is True:
+        elif (cache_positions is not None and s <= 16
+              and cfg.use_flash_decode is True and not paged_chunk):
             # short-query decode (single-token steps and speculative
             # verify windows): Pallas flash-decode streams only the live
             # cache blocks (ops/decode_attention.py); XLA elsewhere
@@ -455,26 +514,26 @@ def _layer_forward(
 
             attn = decode_attention(
                 q,
-                new_k_cache,
-                new_v_cache,
+                att_k,
+                att_v,
                 kv_lengths=cache_kv_lengths,
                 q_positions=cache_positions,
-                k_scale=new_ks,
-                v_scale=new_vs,
+                k_scale=att_ks,
+                v_scale=att_vs,
                 slopes=slopes,
                 block_k=cfg.decode_block_k,
             )
         else:
             attn = xla_attention(
                 q,
-                new_k_cache,
-                new_v_cache,
+                att_k,
+                att_v,
                 causal=True,
                 kv_lengths=cache_kv_lengths,
                 slopes=slopes,
                 q_offset=q_offset,
-                k_scale=new_ks,
-                v_scale=new_vs,
+                k_scale=att_ks,
+                v_scale=att_vs,
             )
     else:
         attn = multihead_attention(
@@ -532,6 +591,9 @@ def decoder_forward(
     prefix_lengths: Optional[jnp.ndarray] = None,  # [B] prefix-LM boundaries
     prefill_from_empty: bool = False,  # static: this call fills an EMPTY cache
     trainable_token_start: Optional[int] = None,  # tied-LM-head freeze boundary
+    paged_chunk: bool = False,  # static: block-aligned prefill chunk straight
+    # into a paged pool (see _layer_forward; requires a paged kv_cache,
+    # cache_positions % block == 0 and S % block == 0)
 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Run the decoder. Returns (logits_or_hidden, updated_kv_cache|None).
 
@@ -586,6 +648,7 @@ def decoder_forward(
                 prefill_from_empty=prefill_from_empty,
                 k_scale_cache=ks, v_scale_cache=vs,
                 block_tables=block_tables,
+                paged_chunk=paged_chunk,
             )
             return out, ((nk, nv, nks, nvs) if quant_cache else (nk, nv))
         lp = xs
@@ -633,7 +696,7 @@ def decoder_forward(
         kb = kv_cache["k"]
         cache_layer_bytes = 2 * int(np.prod(kb.shape[1:])) * kb.dtype.itemsize
         unroll = b >= 2 and cache_layer_bytes >= 48 * 1024 * 1024
-    if kv_cache is not None and unroll and s <= 16:
+    if kv_cache is not None and unroll and (s <= 16 or paged_chunk):
         # Unrolled decode: the layer scan threads the FULL cache through
         # xs->ys, which XLA may double-buffer (a whole-cache copy per
         # layer per token). Unrolling keeps the stacked cache in one
@@ -652,6 +715,7 @@ def decoder_forward(
                 k_scale_cache=None if Lks is None else Lks[l],
                 v_scale_cache=None if Lvs is None else Lvs[l],
                 block_tables=block_tables,
+                paged_chunk=paged_chunk,
             )
             Lk = Lk.at[l].set(nk)
             Lv = Lv.at[l].set(nv)

@@ -288,3 +288,46 @@ def test_server_admit_batch_one_matches_generator(setup):
         assert server.admit_batch == 1
         out = server.serve([Request(ids, audio) for ids, audio in reqs])
         assert [r.tokens for r in out] == ref
+
+
+def test_paged_server_chunked_prefill_direct_to_pool(setup):
+    """Paged + chunked prefill writes K/V straight into pool blocks
+    (decoder paged_chunk path, no dense admission cache, no block insert)
+    and still emits the exact one-shot greedy tokens."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2, prefill_chunk=8,
+        kv_block_size=8, kv_pool_blocks=2 + 8,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
+    # the direct path never builds the block-insert program
+    assert server._paged_insert_by_n == {}
+    assert server._prefill_chunk_paged is not None
+    # all blocks returned to the pool after the wave
+    assert server._allocator.free_blocks == 8
+
+
+def test_paged_server_chunked_prefill_multiblock_chunks(setup):
+    """prefill_chunk spanning several KV blocks per chunk (m=2)."""
+    bundle, cfg, params, reqs = setup
+    max_new = 4
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=3, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2, prefill_chunk=16,
+        admit_batch=2, kv_block_size=8, kv_pool_blocks=3 + 12,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
