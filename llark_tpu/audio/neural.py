@@ -178,23 +178,26 @@ def key_index(label: str) -> int:
     return NOTE_NAMES.index(tonic) * 2 + (0 if mode == "major" else 1)
 
 
-_PARAMS_CACHE: Optional[Dict[str, np.ndarray]] = None
+# keyed by os.path.realpath so equal-but-not-identical spellings of the
+# same file (relative form, normpath variant) hit the same entry instead
+# of re-reading the npz on every annotator call
+_PARAMS_CACHE: Dict[str, Dict[str, np.ndarray]] = {}
 
 
 def load_params(path: str = WEIGHTS_PATH) -> Dict[str, np.ndarray]:
-    global _PARAMS_CACHE
-    if _PARAMS_CACHE is None or path != WEIGHTS_PATH:
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"neural annotator weights missing at {path}; train them "
-                "with scripts/train_annotators.py"
-            )
-        with np.load(path) as z:
-            params = {k: z[k].astype(np.float32) for k in z.files}
-        if path != WEIGHTS_PATH:
-            return params
-        _PARAMS_CACHE = params
-    return _PARAMS_CACHE
+    key = os.path.realpath(path)
+    cached = _PARAMS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"neural annotator weights missing at {path}; train them "
+            "with scripts/train_annotators.py"
+        )
+    with np.load(path) as z:
+        params = {k: z[k].astype(np.float32) for k in z.files}
+    _PARAMS_CACHE[key] = params
+    return params
 
 
 # ---------------------------------------------------------------------------

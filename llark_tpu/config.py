@@ -85,10 +85,19 @@ class ModelConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_aux_loss_weight: float = 0.01
+    # "switch": raw-softmax gates + capacity drops (GShard/Switch).
+    # "mixtral": top-k gates renormalized to sum 1, no token drops —
+    # required for parity with imported Mixtral checkpoints
+    # (HF MixtralSparseMoeBlock renormalizes and never drops).
+    # load_pretrained_backbone auto-selects this when the checkpoint
+    # carries block_sparse_moe.* tensors.
+    moe_routing: str = "switch"
 
     def __post_init__(self):
         if self.head_dim is None:
             self.head_dim = self.hidden_size // self.num_heads
+        if self.moe_routing not in ("switch", "mixtral"):
+            raise ValueError(f"unknown moe_routing={self.moe_routing!r}")
         if self.moe_num_experts > 0 and self.moe_top_k > self.moe_num_experts:
             # with all experts masked, argmax over the zero row would
             # silently re-dispatch every token to expert 0 (moe_ffn)

@@ -88,6 +88,9 @@ class BatchedServer:
         kv_block_size: Optional[int] = None,
         kv_pool_blocks: Optional[int] = None,
         admit_batch: Optional[int] = None,
+        allow_divergent_spec: bool = False,
+        admit_min_fill: int = 1,
+        admit_max_wait_s: float = 0.05,
     ):
         if cfg.use_flash_decode is None:
             # serving regime: the cache is provisioned for max context and
@@ -110,6 +113,16 @@ class BatchedServer:
         # where 8 fits). Smaller admit_batch trades burst-admission latency
         # (ceil(burst / admit_batch) prefill dispatches) for peak memory.
         self.admit_batch = min(admit_batch or max_batch, max_batch)
+        # admission hysteresis (open-loop scheduling): every admission
+        # prefill dispatch is padded to admit_batch rows and stalls decode
+        # for all live slots, so under trickling arrivals admitting each
+        # request the instant a slot frees pays a full prefill wave per
+        # request. With admit_min_fill > 1 the server waits until that many
+        # requests are queued (or the oldest has waited admit_max_wait_s,
+        # or no rows are active — never idle the chip) before prefilling,
+        # amortizing the wave across arrivals at a bounded TTFT cost.
+        self.admit_min_fill = max(1, int(admit_min_fill))
+        self.admit_max_wait_s = float(admit_max_wait_s)
         self.max_cache_len = max_cache_len
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.max_audio_frames = max_audio_frames
@@ -257,6 +270,17 @@ class BatchedServer:
         # natural acceptance. Output tokens are NOT meaningful under this.
         self.spec_force_accept = spec_force_accept
         self._force_rng = np.random.RandomState(1234)
+        if spec_mode is not None or draft_cfg is not None:
+            # bf16 speculation can silently emit different text than plain
+            # decode (verify vs decode graph shapes round differently) —
+            # require an explicit opt-in below fp32. A bench that forces
+            # acceptance (spec_force_accept) has already declared its
+            # outputs meaningless, so it counts as informed consent.
+            from llark_tpu.inference.speculative import check_spec_dtype
+
+            check_spec_dtype(
+                cfg, allow_divergent_spec or spec_force_accept is not None
+            )
         if spec_mode is not None:
             if spec_mode != "ngram":
                 raise ValueError(f"unknown spec_mode {spec_mode!r}")
@@ -304,6 +328,22 @@ class BatchedServer:
                 raise ValueError(
                     "kv_block_size must be a multiple of 8 (Mosaic "
                     "last-two-dims tiling rule for the pool blocks)"
+                )
+            # the decode kernel double-buffers whole K+V pool blocks in
+            # VMEM and cannot halve them (block_k == physical block size):
+            # reject over-budget sizes here instead of at the first decode
+            # dispatch (opaque Mosaic compile error / VMEM exhaustion)
+            from llark_tpu.ops.decode_attention import max_paged_block_size
+
+            itemsize = 1 if cfg.kv_cache_quant else jnp.dtype(cfg.dtype).itemsize
+            cap = max_paged_block_size(cfg.num_kv_heads, cfg.head_dim, itemsize)
+            if kv_block_size > cap:
+                raise ValueError(
+                    f"kv_block_size {kv_block_size} exceeds the VMEM-safe "
+                    f"maximum {cap} for {cfg.num_kv_heads} KV heads x "
+                    f"head_dim {cfg.head_dim} ({'int8' if cfg.kv_cache_quant else cfg.dtype} "
+                    f"cache): the paged decode kernel double-buffers whole "
+                    f"pool blocks and cannot subdivide them"
                 )
             if spec_mode is not None and gamma + 1 > kv_block_size:
                 raise ValueError("gamma+1 must fit in one KV block")
@@ -458,12 +498,28 @@ class BatchedServer:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
+    def _admit_ready(self) -> bool:
+        """Admission hysteresis: True when an admission wave should fire
+        now. Always fires when nothing is decoding (waiting would idle the
+        chip) or when enough requests queued to fill the wave; otherwise
+        holds until the oldest queued request has waited admit_max_wait_s
+        so a trickle of arrivals coalesces into one padded prefill."""
+        if self.admit_min_fill <= 1:
+            return True
+        if not self._active():
+            return True
+        want = min(self.admit_min_fill, self.admit_batch, len(self._free_slots()))
+        if len(self._queue) >= want:
+            return True
+        oldest = min(r.submitted_at for r in self._queue)
+        return (time.time() - oldest) >= self.admit_max_wait_s
+
     def _admit(self) -> None:
         """Prefill queued requests into free slots. Same-bucket requests at
         the head of the queue are prefilled together in ONE batched call
         (a burst of k arrivals costs one prefill, not k)."""
         self._ensure_prefix_caches()
-        while self._queue and self._free_slots():
+        while self._queue and self._free_slots() and self._admit_ready():
             # prefix-caching servers reject prompts that don't open with
             # the shared prefix (fail the request, not the batch)
             while self._queue:
@@ -502,111 +558,121 @@ class BatchedServer:
                 group.append(self._queue.pop(0))
             if not group:
                 break  # pool exhausted: decode on, admit after retirements
-            # fixed admission batch (pad with plen=1 dummies): one prefill
-            # program per bucket, independent of how many requests arrived
-            k = self.admit_batch
-            ids = np.zeros((k, head_bucket), np.int32)
-            plens = np.ones((k,), np.int32)
-            audio = np.zeros((k, self.max_audio_frames, self.cfg.mm_hidden_size), np.float32)
-            fcnt = np.zeros((k,), np.int32)
-            for j, req in enumerate(group):
-                row = np.asarray(req.input_ids, np.int32)[self._prefix_len:]
-                n = len(row)
-                ids[j, :n] = row
-                plens[j] = n
-                if req.audio_encoding is not None:
-                    t = min(req.audio_encoding.shape[0], self.max_audio_frames)
-                    audio[j, :t] = req.audio_encoding[:t]
-                    fcnt[j] = t
-            if self._prefix_ids is not None:
-                cache0 = self._seeded_admission_cache(
-                    "t", self._prefix_len + head_bucket
-                )
-                logits, new_cache = self._suffix_prefill(
-                    self.params, jnp.asarray(ids), jnp.asarray(plens),
-                    jnp.asarray(audio), jnp.asarray(fcnt), cache0,
-                )
-            elif self.prefill_chunk is not None:
-                admit_tables = None
-                if self.paged:
-                    # direct-to-pool prefill: hand the chunk programs each
-                    # admitted row's block span (pad rows -> their own
-                    # parking block); requires chunk-aligned buckets so the
-                    # padded span never outruns the allocated budget
-                    if head_bucket % self.prefill_chunk:
-                        raise ValueError(
-                            f"paged chunked prefill needs the prompt bucket "
-                            f"({head_bucket}) to be a multiple of "
-                            f"prefill_chunk ({self.prefill_chunk})"
+            # everything that can raise (jit compile, XLA OOM,
+            # alignment ValueError) runs before any block is committed to a
+            # slot: on failure, return the allocated blocks to the pool so a
+            # failed admission cannot permanently shrink it
+            try:
+                # fixed admission batch (pad with plen=1 dummies): one prefill
+                # program per bucket, independent of how many requests arrived
+                k = self.admit_batch
+                ids = np.zeros((k, head_bucket), np.int32)
+                plens = np.ones((k,), np.int32)
+                audio = np.zeros((k, self.max_audio_frames, self.cfg.mm_hidden_size), np.float32)
+                fcnt = np.zeros((k,), np.int32)
+                for j, req in enumerate(group):
+                    row = np.asarray(req.input_ids, np.int32)[self._prefix_len:]
+                    n = len(row)
+                    ids[j, :n] = row
+                    plens[j] = n
+                    if req.audio_encoding is not None:
+                        t = min(req.audio_encoding.shape[0], self.max_audio_frames)
+                        audio[j, :t] = req.audio_encoding[:t]
+                        fcnt[j] = t
+                if self._prefix_ids is not None:
+                    cache0 = self._seeded_admission_cache(
+                        "t", self._prefix_len + head_bucket
+                    )
+                    logits, new_cache = self._suffix_prefill(
+                        self.params, jnp.asarray(ids), jnp.asarray(plens),
+                        jnp.asarray(audio), jnp.asarray(fcnt), cache0,
+                    )
+                elif self.prefill_chunk is not None:
+                    admit_tables = None
+                    if self.paged:
+                        # direct-to-pool prefill: hand the chunk programs each
+                        # admitted row's block span (pad rows -> their own
+                        # parking block); requires chunk-aligned buckets so the
+                        # padded span never outruns the allocated budget
+                        if head_bucket % self.prefill_chunk:
+                            raise ValueError(
+                                f"paged chunked prefill needs the prompt bucket "
+                                f"({head_bucket}) to be a multiple of "
+                                f"prefill_chunk ({self.prefill_chunk})"
+                            )
+                        if self._cache is None:
+                            from llark_tpu.models.decoder import init_paged_kv_cache
+
+                            self._cache = init_paged_kv_cache(
+                                self.cfg, self.max_batch, self.kv_pool_blocks,
+                                self.kv_block_size, self._max_blocks,
+                            )
+                        span = head_bucket // self.kv_block_size
+                        admit_tables = np.empty((k, span), np.int32)
+                        for j in range(k):
+                            if j < len(group):
+                                admit_tables[j, :] = pending_blocks[j][:span]
+                            else:
+                                admit_tables[j, :] = j  # parking block
+                    logits, new_cache = self._chunked_prefill(
+                        ids, plens, audio, fcnt, admit_tables
+                    )
+                else:
+                    if head_bucket not in self._prefill_by_bucket:
+                        self._prefill_by_bucket[head_bucket] = jax.jit(
+                            make_prefill_fn(
+                                self.cfg, self.audio_patch_id, head_bucket
+                            )
                         )
-                    if self._cache is None:
+                    logits, new_cache = self._prefill_by_bucket[head_bucket](
+                        self.params, jnp.asarray(ids), jnp.asarray(plens),
+                        jnp.asarray(audio), jnp.asarray(fcnt),
+                    )
+                self._rng, sub = jax.random.split(self._rng)
+                from llark_tpu.generate import _sample
+
+                firsts = np.asarray(jax.device_get(_sample(logits, self.gen_cfg, sub)))
+                if self.draft_cfg is not None:
+                    if self._prefix_ids is not None:
+                        d_cache0 = self._seeded_admission_cache(
+                            "d", self._prefix_len + head_bucket
+                        )
+                        _, d_new_cache = self._d_suffix_prefill(
+                            self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
+                            jnp.asarray(audio), jnp.asarray(fcnt), d_cache0,
+                        )
+                    else:
+                        _, d_new_cache = self._d_prefill(
+                            self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
+                            jnp.asarray(audio), jnp.asarray(fcnt),
+                        )
+                    if self._d_cache is None:
+                        from llark_tpu.models.decoder import init_kv_cache
+
+                        self._d_cache = init_kv_cache(
+                            self.draft_cfg, self.max_batch, self.max_cache_len
+                        )
+                if self._cache is None:
+                    if self.paged:
                         from llark_tpu.models.decoder import init_paged_kv_cache
 
                         self._cache = init_paged_kv_cache(
                             self.cfg, self.max_batch, self.kv_pool_blocks,
                             self.kv_block_size, self._max_blocks,
                         )
-                    span = head_bucket // self.kv_block_size
-                    admit_tables = np.empty((k, span), np.int32)
-                    for j in range(k):
-                        if j < len(group):
-                            admit_tables[j, :] = pending_blocks[j][:span]
-                        else:
-                            admit_tables[j, :] = j  # parking block
-                logits, new_cache = self._chunked_prefill(
-                    ids, plens, audio, fcnt, admit_tables
-                )
-            else:
-                if head_bucket not in self._prefill_by_bucket:
-                    self._prefill_by_bucket[head_bucket] = jax.jit(
-                        make_prefill_fn(
-                            self.cfg, self.audio_patch_id, head_bucket
+                    else:
+                        # the persistent batched cache is FULL max_cache_len
+                        # even though admission caches are bucket-sized
+                        from llark_tpu.models.decoder import init_kv_cache
+
+                        self._cache = init_kv_cache(
+                            self.cfg, self.max_batch, self.max_cache_len
                         )
-                    )
-                logits, new_cache = self._prefill_by_bucket[head_bucket](
-                    self.params, jnp.asarray(ids), jnp.asarray(plens),
-                    jnp.asarray(audio), jnp.asarray(fcnt),
-                )
-            self._rng, sub = jax.random.split(self._rng)
-            from llark_tpu.generate import _sample
-
-            firsts = np.asarray(jax.device_get(_sample(logits, self.gen_cfg, sub)))
-            if self.draft_cfg is not None:
-                if self._prefix_ids is not None:
-                    d_cache0 = self._seeded_admission_cache(
-                        "d", self._prefix_len + head_bucket
-                    )
-                    _, d_new_cache = self._d_suffix_prefill(
-                        self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
-                        jnp.asarray(audio), jnp.asarray(fcnt), d_cache0,
-                    )
-                else:
-                    _, d_new_cache = self._d_prefill(
-                        self.draft_params, jnp.asarray(ids), jnp.asarray(plens),
-                        jnp.asarray(audio), jnp.asarray(fcnt),
-                    )
-                if self._d_cache is None:
-                    from llark_tpu.models.decoder import init_kv_cache
-
-                    self._d_cache = init_kv_cache(
-                        self.draft_cfg, self.max_batch, self.max_cache_len
-                    )
-            if self._cache is None:
+            except Exception:
                 if self.paged:
-                    from llark_tpu.models.decoder import init_paged_kv_cache
-
-                    self._cache = init_paged_kv_cache(
-                        self.cfg, self.max_batch, self.kv_pool_blocks,
-                        self.kv_block_size, self._max_blocks,
-                    )
-                else:
-                    # the persistent batched cache is FULL max_cache_len
-                    # even though admission caches are bucket-sized
-                    from llark_tpu.models.decoder import init_kv_cache
-
-                    self._cache = init_kv_cache(
-                        self.cfg, self.max_batch, self.max_cache_len
-                    )
+                    for blocks in pending_blocks:
+                        self._allocator.free(blocks)
+                raise
             now = time.time()
             bucket_blocks = (
                 -(-head_bucket // self.kv_block_size) if self.paged else 0

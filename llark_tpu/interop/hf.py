@@ -214,11 +214,34 @@ def resize_embeddings(params: Params, new_vocab: int) -> Params:
 
 
 def load_pretrained_backbone(path: str, cfg: ModelConfig) -> Params:
-    """Import an HF checkpoint dir, detect arch, resize vocab to cfg."""
+    """Import an HF checkpoint dir, detect arch, resize vocab to cfg.
+
+    Mixtral checkpoints (block_sparse_moe.* tensors) force
+    cfg.moe_routing="mixtral" and a drop-free capacity factor E/K, because
+    HF's MixtralSparseMoeBlock renormalizes the top-k gates to sum to 1 and
+    never drops tokens — running an imported Mixtral under Switch routing
+    would systematically down-scale every MoE output."""
     sd = load_hf_state_dict(path)
     if any(k.startswith("transformer.blocks.") for k in sd):
         params = mpt_params_from_hf(sd, cfg)
     else:
+        if ("model.layers.0.block_sparse_moe.gate.weight" in sd
+                and cfg.moe_num_experts > 0):
+            if cfg.moe_routing != "mixtral":
+                log.warning(
+                    "Mixtral checkpoint detected: switching moe_routing "
+                    "'%s' -> 'mixtral' (renormalized gates, no drops)",
+                    cfg.moe_routing,
+                )
+                cfg.moe_routing = "mixtral"
+            drop_free = cfg.moe_num_experts / cfg.moe_top_k
+            if cfg.moe_capacity_factor < drop_free:
+                log.warning(
+                    "Mixtral checkpoint: raising moe_capacity_factor "
+                    "%.3g -> %.3g so no token is ever dropped",
+                    cfg.moe_capacity_factor, drop_free,
+                )
+                cfg.moe_capacity_factor = drop_free
         params = llama_params_from_hf(sd, cfg)
     if np.asarray(params["embed"]).shape[0] != cfg.vocab_size:
         params = resize_embeddings(params, cfg.vocab_size)
@@ -322,8 +345,16 @@ def save_hf_checkpoint(path: str, cfg: ModelConfig, params: Params) -> str:
             "mm_hidden_size": cfg.mm_hidden_size,
         }
     else:
+        # MoE state dicts carry Mixtral 'block_sparse_moe.*' tensor names,
+        # so the config must say mixtral too — a loader handed model_type
+        # 'llama' would instantiate a dense LlamaForCausalLM and silently
+        # drop every expert weight
+        moe = bool(cfg.moe_num_experts)
         config = {
-            "model_type": "llama",
+            "model_type": "mixtral" if moe else "llama",
+            "architectures": [
+                "MixtralForCausalLM" if moe else "LlamaForCausalLM"
+            ],
             "hidden_size": cfg.hidden_size,
             "intermediate_size": cfg.intermediate_size,
             "num_hidden_layers": cfg.num_layers,
@@ -335,7 +366,7 @@ def save_hf_checkpoint(path: str, cfg: ModelConfig, params: Params) -> str:
             "vocab_size": cfg.vocab_size,
             "mm_hidden_size": cfg.mm_hidden_size,
         }
-        if cfg.moe_num_experts:
+        if moe:
             config["num_local_experts"] = cfg.moe_num_experts
             config["num_experts_per_tok"] = cfg.moe_top_k
     with open(os.path.join(path, "config.json"), "w") as f:

@@ -24,10 +24,17 @@ rather than a scatter/gather translation:
     the train step, which adds cfg.moe_aux_loss_weight × aux to the LM
     loss.
 
-Routing semantics: top-k over the fp32 softmax of router logits, gates
-are the RAW softmax probabilities (Switch/GShard convention — no top-k
-renormalization), tokens beyond an expert's capacity are dropped (their
-MLP contribution is 0; the residual stream still carries x).
+Routing semantics (cfg.moe_routing):
+  * "switch" (default): top-k over the fp32 softmax of router logits,
+    gates are the RAW softmax probabilities (Switch/GShard convention —
+    no top-k renormalization), tokens beyond an expert's capacity are
+    dropped (their MLP contribution is 0; the residual stream still
+    carries x).
+  * "mixtral": the selected top-k gates are renormalized to sum to 1
+    per token and capacity must be set high enough that no token drops
+    (HF MixtralSparseMoeBlock semantics — interop/hf.py selects this
+    mode and moe_capacity_factor = E/K when importing a Mixtral
+    checkpoint, so C = S and nothing is ever dropped).
 """
 
 from __future__ import annotations
@@ -100,6 +107,7 @@ def moe_ffn(
     counts = jnp.zeros((b, 1, e), jnp.float32)  # slots already used per expert
     dispatch = jnp.zeros((b, s, e, c), jnp.float32)
     combine = jnp.zeros((b, s, e, c), jnp.float32)
+    gate_sum = jnp.zeros((b, s), jnp.float32)  # Σ selected gates (mixtral renorm)
     top1 = None
     for kk in range(k):
         idx = jnp.argmax(masked, axis=-1)  # [B,S]
@@ -116,8 +124,14 @@ def moe_ffn(
         upd = oh[..., None] * slot[..., None, :] * keep[..., None, None]
         dispatch = dispatch + upd
         combine = combine + gate[..., None, None] * upd
+        gate_sum = gate_sum + gate
         if kk == 0:
             top1 = oh
+
+    if cfg.moe_routing == "mixtral":
+        # renormalize the selected gates to sum to 1 per token: combine is
+        # linear in the raw gates, so one divide after the loop is exact
+        combine = combine / jnp.maximum(gate_sum, 1e-9)[..., None, None]
 
     # Switch load-balancing loss: E · Σ_e f_e·p_e per row, meaned over rows
     f = jnp.mean(top1, axis=1)  # [B,E] top-1 token fraction

@@ -271,6 +271,21 @@ def _decode_kernel_all_heads(
         ).astype(o_ref.dtype)
 
 
+# the dense path keeps double-buffered K+V blocks within this budget by
+# halving block_k; paged mode can't halve (block_k == pool block size), so
+# max_paged_block_size is the hard cap BatchedServer and flash_decode_attention
+# validate against
+_PAGED_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def max_paged_block_size(num_kv_heads: int, head_dim: int, itemsize: int) -> int:
+    """Largest kv_block_size whose double-buffered K+V blocks
+    (2 buffers x (K+V) = 4 copies of [Hkv, block, D]) fit the VMEM budget,
+    rounded down to the Mosaic-required multiple of 8."""
+    cap = _PAGED_VMEM_BUDGET // (num_kv_heads * head_dim * itemsize * 4)
+    return max(8, (cap // 8) * 8)
+
+
 def flash_decode_attention(
     q: jnp.ndarray,  # [B, H, 1, D]
     k_cache: jnp.ndarray,  # [B, Hkv, S, D] int8 or compute dtype
@@ -311,6 +326,19 @@ def flash_decode_attention(
         if not all_heads:
             raise ValueError("paged decode requires the all-heads layout")
         n_blocks, hkv, block_k, _ = k_cache.shape
+        # paged block_k is pinned to the physical pool block size, so the
+        # dense path's halve-until-it-fits VMEM guard below cannot apply —
+        # validate up front instead of failing in Mosaic with an opaque
+        # compile error (or exhausting VMEM at runtime)
+        cap = max_paged_block_size(hkv, d, k_cache.dtype.itemsize)
+        if block_k > cap:
+            raise ValueError(
+                f"paged kv_block_size={block_k} needs "
+                f"{hkv * block_k * d * k_cache.dtype.itemsize * 4 / 2**20:.1f} "
+                f"MiB of double-buffered K+V VMEM (budget "
+                f"{_PAGED_VMEM_BUDGET / 2**20:.0f} MiB); use kv_block_size "
+                f"<= {cap} for {hkv} KV heads x head_dim {d}"
+            )
         max_blocks = block_tables.shape[1]
         sk = max_blocks * block_k  # logical length; always block-divisible
         table_arr = block_tables.astype(jnp.int32).reshape(b, max_blocks)

@@ -101,9 +101,11 @@ def smear_targets(times, n_frames, fps):
     return t
 
 
-def build_beat_dataset(n_per_family, seed_base, seconds=12.0):
+def build_beat_dataset(n_per_family, seed_base, seconds=12.0, families=None):
     feats, targs = [], []
     for fi, fam in enumerate(FAMILIES):
+        if families is not None and fam not in families:
+            continue
         for i in range(n_per_family):
             audio, truth = make_clip(seed_base + fi * 1000 + i, seconds,
                                      family=fam)
@@ -117,11 +119,14 @@ def build_beat_dataset(n_per_family, seed_base, seconds=12.0):
     return feats, targs
 
 
-def build_key_dataset(n_per_family, seed_base, seconds=12.0, n_frames=120):
+def build_key_dataset(n_per_family, seed_base, seconds=12.0, n_frames=120,
+                      families=None):
     xs, ys = [], []
     for fi, fam in enumerate(FAMILIES):
         if fam == "perc":
             continue  # no tonal content
+        if families is not None and fam not in families:
+            continue
         for i in range(n_per_family):
             audio, truth = make_clip(seed_base + fi * 1000 + i, seconds,
                                      family=fam)
@@ -210,6 +215,66 @@ def train_key(xs, ys, steps, batch, lr, rng):
     return params
 
 
+def run_lofo(ns):
+    """Leave-one-family-out: for each family F, train on FAMILIES - {F}
+    and score on F (disjoint eval seeds). Compares against the committed
+    all-family model and the DSP baseline on the same clips."""
+    import json
+    import tempfile
+
+    from llark_tpu.audio.synthbench import run_benchmark
+
+    score_keys = ("beat_f", "downbeat_f", "tempo_acc2", "key_mirex")
+    results = []
+    for excl in FAMILIES:
+        rng = np.random.RandomState(0)
+        train_fams = [f for f in FAMILIES if f != excl]
+        print(f"\n=== LOFO: excluding '{excl}' (train on {train_fams}) ===",
+              flush=True)
+        feats, targs = build_beat_dataset(ns.clips_per_family, TRAIN_SEED_BASE,
+                                          families=train_fams)
+        beat_params = train_beat(feats, targs, ns.steps_beat, ns.batch,
+                                 ns.crop, ns.lr, rng)
+        key_fams = [f for f in train_fams if f != "perc"]
+        xs, ys = build_key_dataset(ns.clips_per_family, TRAIN_SEED_BASE,
+                                   families=key_fams)
+        key_params = train_key(xs, ys, ns.steps_key, 64, ns.lr, rng)
+        params = {k: np.asarray(v, np.float32)
+                  for k, v in {**beat_params, **key_params}.items()}
+        with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as tf:
+            np.savez_compressed(tf.name, **params)
+            lofo_path = tf.name
+        neural._PARAMS_CACHE.clear()
+        lofo_scores = run_benchmark(
+            ns.eval_n, 12.0, seed=777, family=excl,
+            annotators=neural.neural_annotators(weights=lofo_path),
+        )
+        all_scores = (
+            run_benchmark(ns.eval_n, 12.0, seed=777, family=excl,
+                          annotators=neural.neural_annotators())
+            if os.path.exists(neural.WEIGHTS_PATH) else {}
+        )
+        dsp_scores = run_benchmark(ns.eval_n, 12.0, seed=777, family=excl)
+        os.unlink(lofo_path)
+        row = {"excluded_family": excl}
+        for k in score_keys:
+            for tag, scores in (("lofo", lofo_scores), ("allfam", all_scores),
+                                ("dsp", dsp_scores)):
+                if k in scores:  # perc has no tonal truth -> no key_mirex
+                    row[f"{tag}_{k}"] = round(float(scores[k]), 3)
+        print("  " + json.dumps(row), flush=True)
+        results.append(row)
+
+    out_path = os.path.join(os.path.dirname(__file__), "bench",
+                            "results_lofo_annotators.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump({"clips_per_family": ns.clips_per_family,
+                   "eval_n": ns.eval_n, "rows": results}, f, indent=2)
+    print(f"\nwrote {out_path}")
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--clips-per-family", type=int, default=40)
@@ -221,8 +286,20 @@ def main(argv=None):
     ap.add_argument("--out", default=neural.WEIGHTS_PATH)
     ap.add_argument("--eval-n", type=int, default=10,
                     help="held-out clips per family for the post-train score")
+    ap.add_argument("--lofo", action="store_true",
+                    help="leave-one-family-out generalization study: train "
+                         "len(FAMILIES) models, each with one family fully "
+                         "EXCLUDED from training, and score each on its "
+                         "excluded family (VERDICT r3 item 6 — whether the "
+                         "neural annotators transfer across synthesis "
+                         "families or are in-distribution only). Writes "
+                         "scripts/bench/results_lofo_annotators.json; does "
+                         "NOT touch the committed weights")
     ns = ap.parse_args(argv)
     rng = np.random.RandomState(0)
+
+    if ns.lofo:
+        return run_lofo(ns)
 
     t0 = time.time()
     print("building beat dataset...", flush=True)
@@ -248,7 +325,7 @@ def main(argv=None):
     if ns.eval_n:
         from llark_tpu.audio.synthbench import run_benchmark
 
-        neural._PARAMS_CACHE = None  # pick up the fresh weights
+        neural._PARAMS_CACHE.clear()  # pick up the fresh weights
         chain = neural.neural_annotators(weights=ns.out)
         print("\nheld-out validation (seeds disjoint from train AND from "
               "the synthbench eval):")
