@@ -169,6 +169,7 @@ def batch_infer_continuous(
     kv_block_size: Optional[int] = None,  # paged KV (inference/paged.py)
     kv_pool_blocks: Optional[int] = None,
     admit_batch: Optional[int] = None,  # transient-HBM admission knob
+    allow_divergent_spec: bool = False,  # opt into sub-fp32 speculation
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
     (llark_tpu/inference/server.py): all rows stream through `max_batch`
@@ -218,6 +219,7 @@ def batch_infer_continuous(
         kv_block_size=kv_block_size,
         kv_pool_blocks=kv_pool_blocks,
         admit_batch=admit_batch,
+        allow_divergent_spec=allow_divergent_spec,
     )
     server.serve(requests)
     return [

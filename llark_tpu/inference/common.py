@@ -35,6 +35,13 @@ def add_generation_args(p) -> None:
     )
     p.add_argument("--gamma", type=int, default=4,
                    help="speculative draft length per verify round")
+    p.add_argument("--allow-divergent-spec", action="store_true",
+                   help="permit --speculative below fp32: bf16 matmuls round "
+                        "differently between the verify and decode graph "
+                        "shapes, so speculative output can differ from plain "
+                        "greedy decode (measured on chip: 24/24 streams "
+                        "diverged). Without this flag, sub-fp32 speculation "
+                        "is refused")
     p.add_argument("--spec-rounds", type=int, default=2,
                    help="with --continuous-batching + --speculative draft: "
                         "fused propose/verify rounds per decode dispatch")
@@ -66,6 +73,16 @@ def add_generation_args(p) -> None:
                         "HBM knob — the bucket-sized admission cache "
                         "coexists with weights + the persistent cache, so "
                         "high slot counts need a smaller admission batch")
+    p.add_argument("--admit-min-fill", type=int, default=1,
+                   help="with --continuous-batching: admission hysteresis — "
+                        "hold queued requests until this many are waiting "
+                        "(or --admit-max-wait-ms passes, or no slot is "
+                        "decoding) so trickling arrivals coalesce into one "
+                        "padded prefill wave instead of one wave each")
+    p.add_argument("--admit-max-wait-ms", type=float, default=50.0,
+                   help="hysteresis deadline for --admit-min-fill: admit "
+                        "anyway once the oldest queued request has waited "
+                        "this long")
     p.add_argument("--num-beams", type=int, default=1,
                    help="beam search width (1 = greedy/sampling; the HF "
                         "generate num_beams counterpart)")
@@ -178,6 +195,7 @@ def load_generator(args, bundle, cfg, params):
             draft_cfg=draft_cfg,
             draft_params=draft_params,
             gamma=args.gamma,
+            allow_divergent=getattr(args, "allow_divergent_spec", False),
         )
     return Generator(
         cfg,

@@ -83,9 +83,12 @@ def main(argv=None):
             spec_rounds=args.spec_rounds,
             prefix_cache=args.prefix_cache,
             spec_mode="ngram" if args.speculative == "ngram" else None,
+            allow_divergent_spec=args.allow_divergent_spec,
             kv_block_size=args.kv_block_size,
             kv_pool_blocks=args.kv_pool_blocks,
             admit_batch=args.admit_batch,
+            admit_min_fill=args.admit_min_fill,
+            admit_max_wait_s=args.admit_max_wait_ms / 1000.0,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

@@ -278,6 +278,9 @@ def main(argv=None):
         kv_block_size=args.kv_block_size,
         kv_pool_blocks=args.kv_pool_blocks,
         admit_batch=args.admit_batch,
+        admit_min_fill=args.admit_min_fill,
+        admit_max_wait_s=args.admit_max_wait_ms / 1000.0,
+        allow_divergent_spec=args.allow_divergent_spec,
     )
     httpd, engine = serve_http(server, bundle, args.host, args.port)
     log.info("serving on %s:%d (%d slots)", args.host, args.port,

@@ -57,6 +57,31 @@ from llark_tpu.generate import GenerationConfig, _sample, make_prefill_fn
 from llark_tpu.models import decoder as decoder_lib
 
 
+def check_spec_dtype(cfg: ModelConfig, allow_divergent: bool) -> None:
+    """Gate sub-fp32 speculation behind an explicit opt-in.
+
+    Measured on chip (PERFORMANCE.md "bf16 speculation divergence"): at
+    bf16 the (gamma+1)-token verify graph and the 1-token decode graph
+    round matmuls differently, flipping near-tie argmaxes — natural greedy
+    acceptance came back 0.06-0.10 with 24/24 streams diverging from plain
+    decode. Every emitted token is still a valid sample from (numerically
+    perturbed) target logits, but '--speculative' silently changing the
+    text vs plain decode is a production correctness decision the operator
+    must make, not a footnote. fp32 runs are token-exact (unit-tested)."""
+    if allow_divergent:
+        return
+    if jnp.dtype(cfg.dtype) == jnp.float32:
+        return
+    raise ValueError(
+        f"speculative decoding at dtype={cfg.dtype} can emit different text "
+        "than plain greedy decode (bf16 matmuls round differently between "
+        "the verify and decode graph shapes; measured 24/24 streams "
+        "diverged on chip). Pass allow_divergent_spec=True "
+        "(--allow-divergent-spec) to accept this, or run with dtype=float32 "
+        "for token-exact speculation."
+    )
+
+
 def ngram_propose(
     history: Sequence[int], gamma: int, max_k: int = 3
 ) -> List[int]:
@@ -310,9 +335,11 @@ class SpeculativeGenerator:
         gamma: int = 4,
         ngram_max_k: int = 3,
         fused_rounds: int = 4,
+        allow_divergent: bool = False,
     ):
         if (draft_cfg is None) != (draft_params is None):
             raise ValueError("draft_cfg and draft_params must be given together")
+        check_spec_dtype(cfg, allow_divergent)
         self.cfg = cfg
         self.params = params
         self.gen_cfg = gen_cfg or GenerationConfig()
