@@ -331,3 +331,51 @@ def test_paged_server_chunked_prefill_multiblock_chunks(setup):
     )
     out = server.serve([Request(ids, audio) for ids, audio in reqs])
     assert [r.tokens for r in out] == ref
+
+
+def test_admit_hysteresis_no_deadlock_and_token_equal(setup):
+    """admit_min_fill holds admissions for coalescing but must never idle
+    the chip (admits when nothing is decoding) nor deadlock serve(); the
+    output tokens are unchanged — hysteresis only re-times admission."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2,
+        admit_min_fill=3, admit_max_wait_s=1000.0,  # deadline never fires
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
+
+
+def test_admit_ready_predicate(setup):
+    """The hysteresis predicate: fires on empty decode, on a full wave, or
+    on deadline; holds otherwise."""
+    import time as _time
+
+    bundle, cfg, params, _ = setup
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=4, temperature=0.0, stop_text=""),
+        max_batch=4, max_cache_len=64, prompt_buckets=(16,),
+        decode_chunk=2, admit_min_fill=3, admit_max_wait_s=60.0,
+    )
+    fresh = Request(np.arange(4, 9, dtype=np.int32))
+    fresh.submitted_at = _time.time()
+    stale = Request(np.arange(4, 9, dtype=np.int32))
+    stale.submitted_at = _time.time() - 120.0
+
+    server._queue = [fresh]
+    assert server._admit_ready()  # nothing active: admit immediately
+    server._slot_req[0] = Request(np.arange(3, dtype=np.int32))  # fake live row
+    assert not server._admit_ready()  # 1 queued < min_fill 3, fresh
+    server._queue = [fresh, fresh, fresh]
+    assert server._admit_ready()  # full wave
+    server._queue = [stale]
+    assert server._admit_ready()  # deadline exceeded
+    server._slot_req[0] = None
