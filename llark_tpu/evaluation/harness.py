@@ -86,6 +86,15 @@ def cmd_genre(ns):
     embedder = None  # offline hashed bag-of-words default
     if getattr(ns, "embedder", "offline") == "openai":
         embedder = _openai_embedder(ns.embedding_model)
+    elif getattr(ns, "embedder", "offline") == "clap":
+        # real on-device embeddings, no API: the CLAP text tower trained
+        # contrastively against the HTSAT audio tower we already import
+        from llark_tpu.encoders.clap.text import make_text_embedder
+
+        if not ns.clap_checkpoint:
+            raise SystemExit("--embedder clap requires --clap-checkpoint "
+                             "(an HF CLAP dir, e.g. laion/clap-htsat-unfused)")
+        embedder = make_text_embedder(ns.clap_checkpoint)
     ranked = rank_labels_by_similarity(completions, label_set, embedder=embedder)
     metrics = {
         f"acc@{k}": round(acc_at_k(ranked, truths, k), 4) for k in (1, 2, 3, 4)
@@ -184,12 +193,16 @@ def main(argv=None):
                                                "instruments": "instruments"}[name])
         c.add_argument("--id-col", default="example_id")
         if name == "genre":
-            c.add_argument("--embedder", choices=("offline", "openai"),
+            c.add_argument("--embedder", choices=("offline", "openai", "clap"),
                            default="offline",
                            help="'openai' = the reference notebooks' text "
                                 "embeddings (needs OPENAI_API_KEY); "
+                                "'clap' = the CLAP text tower on-device "
+                                "(needs --clap-checkpoint, no API); "
                                 "'offline' = hashed bag of words")
             c.add_argument("--embedding-model", default="text-embedding-3-small")
+            c.add_argument("--clap-checkpoint", default=None,
+                           help="HF CLAP checkpoint dir for --embedder clap")
         for e in extra:
             c.add_argument(e, required=True)
         c.set_defaults(fn=fn)

@@ -76,10 +76,26 @@ def matmul_param_count(cfg: ModelConfig, multimodal: bool = True) -> int:
 
 
 def train_flops_per_token(
-    cfg: ModelConfig, seq_len: int, multimodal: bool = True
+    cfg: ModelConfig, seq_len: int, multimodal: bool = True,
+    frozen_base: bool = False,
 ) -> float:
-    """Model FLOPs per trained token, forward + backward."""
-    matmul = 6.0 * matmul_param_count(cfg, multimodal)
+    """Model FLOPs per trained token, forward + backward.
+
+    frozen_base (QLoRA): the backward still propagates dL/dx through every
+    frozen matmul (2N) but skips dL/dW (another 2N), so the base counts
+    4N instead of 6N; the rank-r adapters add 6 * N_lora (~3% of base at
+    r=64 on a 7B). Attention score/value FLOPs are weightless and stay 6x
+    either way."""
+    factor = 4.0 if frozen_base else 6.0
+    matmul = factor * matmul_param_count(cfg, multimodal)
+    if frozen_base and cfg.lora_rank:
+        # adapters on the attention projections: (in x r + r x out) each
+        h = cfg.hidden_size
+        d_attn = cfg.num_heads * cfg.head_dim
+        d_kv = cfg.num_kv_heads * cfg.head_dim
+        r = cfg.lora_rank
+        per_layer = r * (h + d_attn) + 2 * r * (h + d_kv) + r * (d_attn + h)
+        matmul += 6.0 * cfg.num_layers * per_layer
     # causal attention: QK^T and PV each 2*(T/2)*d_attn fwd FLOPs/token,
     # x3 for fwd+bwd -> 6 * L * (T/2) * 2 * d_attn = 6 * L * T * d_attn
     attn = 6.0 * cfg.num_layers * seq_len * cfg.num_heads * cfg.head_dim

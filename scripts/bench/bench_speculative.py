@@ -211,6 +211,7 @@ def main():
                 target_cfg, tparams, audio_patch_id=VOCAB - 1,
                 draft_cfg=draft_cfg, draft_params=dparams, gamma=gamma,
                 max_cache_len=1024, fused_rounds=fused,
+                allow_divergent=True,  # throughput bench; bf16 divergence
             )
             tag = f"draft_g{gamma}" + ("_fused" if fused else "_hostloop")
             results[tag] = bench_decode(
@@ -218,7 +219,8 @@ def main():
                 f"draft gamma={gamma} {'fused' if fused else 'host-loop'}")
 
         ng = SpeculativeGenerator(
-            target_cfg, tparams, audio_patch_id=VOCAB - 1, gamma=4, max_cache_len=1024
+            target_cfg, tparams, audio_patch_id=VOCAB - 1, gamma=4,
+            max_cache_len=1024, allow_divergent=True,
         )
         results["ngram_g4"] = bench_decode(ng, prompts, plens, args.max_new, "ngram spec gamma=4")
 
@@ -245,7 +247,8 @@ def main():
             kw = {}
             if with_draft:
                 kw = dict(draft_cfg=draft_cfg, draft_params=dparams,
-                          gamma=8, spec_rounds=4)
+                          gamma=8, spec_rounds=4,
+                          allow_divergent_spec=True)
             srv = BatchedServer(
                 target_cfg, tparams, audio_patch_id=VOCAB - 1,
                 gen_cfg=GenerationConfig(max_new_tokens=max_new,

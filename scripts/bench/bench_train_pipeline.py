@@ -90,27 +90,45 @@ def sync(x):
     return jax.device_get(jnp.sum(x).astype(jnp.float32))
 
 
-def build_step(cfg: ModelConfig):
+def _make_params(cfg: ModelConfig, qlora: bool):
+    params = jax.jit(lambda k: init_llark_params(cfg, k))(jax.random.PRNGKey(0))
+    partition = None
+    if qlora:
+        # int8 frozen base + LoRA adapters: the flagship training config
+        # (reference budget: train_llark.sh + bitsandbytes int8/LoRA)
+        from llark_tpu.models.lora import init_lora_params
+        from llark_tpu.models.quant import quantize_params_int8_incremental
+        from llark_tpu.train.step import ParamPartition, trainable_mask
+
+        params = init_lora_params(cfg, jax.random.PRNGKey(1), params)
+        params = quantize_params_int8_incremental(cfg, params)
+        partition = ParamPartition(params, trainable_mask(params, lora=True))
+    return params, partition
+
+
+def build_step(cfg: ModelConfig, qlora: bool = False, grad_accum: int = 1,
+               audio_patch_id: int = 50368):
     args = TrainingArguments(
         learning_rate=5e-5, max_steps=100_000, warmup_ratio=0.03,
         lr_scheduler_type="cosine",
     )
-    params = jax.jit(lambda k: init_llark_params(cfg, k))(jax.random.PRNGKey(0))
+    params, partition = _make_params(cfg, qlora)
     optimizer = make_optimizer(args, params)
-    state = jax.jit(lambda p: TrainState.create(p, optimizer))(params)
+    state = jax.jit(lambda p: TrainState.create(p, optimizer, partition))(params)
     step_fn = jax.jit(
-        make_train_step(cfg, optimizer, audio_patch_id=50368),
+        make_train_step(cfg, optimizer, audio_patch_id=audio_patch_id,
+                        grad_accum_steps=grad_accum, partition=partition),
         donate_argnums=(0,),
     )
-    return state, step_fn, optimizer
+    return state, step_fn, optimizer, partition
 
 
-def rebuild_state(cfg: ModelConfig, optimizer):
+def rebuild_state(cfg: ModelConfig, optimizer, qlora: bool = False):
     """Fresh TrainState for the compute-only leg — the caller must have
     dropped the pipeline leg's state first (MPT-1B params+adam are ~7.8 GB
     in bf16; two states OOM a 16 GB chip)."""
-    params = jax.jit(lambda k: init_llark_params(cfg, k))(jax.random.PRNGKey(0))
-    return jax.jit(lambda p: TrainState.create(p, optimizer))(params)
+    params, partition = _make_params(cfg, qlora)
+    return jax.jit(lambda p: TrainState.create(p, optimizer, partition))(params)
 
 
 def run_loop(state, step_fn, batches, sync_every: int, next_times=None):
@@ -147,9 +165,15 @@ def main():
     p.add_argument("--sync-every", type=int, default=10)
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--prefetch", type=int, default=4)
-    p.add_argument("--config", default="mpt1b", choices=["mpt1b", "tiny"])
+    p.add_argument("--config", default="mpt1b",
+                   choices=["mpt1b", "tiny", "llama7b-qlora"])
     p.add_argument("--seq", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batch scan inside the jitted step; --batch is "
+                        "the GLOBAL batch (llama7b-qlora default: batch 32, "
+                        "accum 16 -> micro 2, the budget-of-record shape "
+                        "train_llark.sh 4gpu x bs2 x accum4)")
     p.add_argument("--skip-compute-baseline", action="store_true")
     p.add_argument("--remat-policy", default="full", choices=["full", "dots", "dots_narrow"])
     p.add_argument("--no-remat", action="store_true")
@@ -162,12 +186,29 @@ def main():
         FRAMES = min(FRAMES, max(8, SEQ // 8))
     if args.batch:
         BATCH = args.batch
+    qlora = False
     if args.config == "tiny":
         # CPU smoke: XLA attention (interpret-mode Pallas at seq 2048 is
         # unusably slow off-chip); the TPU run keeps the Pallas kernel
         cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=MM,
                                use_pallas_attention=False)
         cfg.max_seq_len = SEQ
+    elif args.config == "llama7b-qlora":
+        # the FLAGSHIP training config through the real pipeline
+        # (VERDICT r3 item 3): Llama-2-7b architecture, int8 frozen base,
+        # rank-64 LoRA, global batch 32 via in-step grad accumulation
+        cfg = ModelConfig(
+            arch="llama", vocab_size=32004, hidden_size=4096,
+            intermediate_size=11008, num_layers=32, num_heads=32,
+            num_kv_heads=32, head_dim=128, max_seq_len=SEQ,
+            mm_hidden_size=MM, dtype="bfloat16", param_dtype="bfloat16",
+            remat=True, lora_rank=64, lora_alpha=16.0,
+        )
+        qlora = True
+        if not args.batch:
+            BATCH = 32
+        if args.grad_accum == 1:
+            args.grad_accum = 16  # micro-batch 2 (4gpu x bs2 x accum4 parity)
     else:
         # bf16 params/compute: the record-run configuration
         # (scripts/bench/bench_mpt1b.py:144 — fp32 masters are a DP concern)
@@ -197,7 +238,9 @@ def main():
         num_workers=args.num_workers,
     )
 
-    state, step_fn, optimizer = build_step(cfg)
+    state, step_fn, optimizer, _ = build_step(
+        cfg, qlora=qlora, grad_accum=args.grad_accum
+    )
 
     # warmup/compile on one pipeline batch
     it = make_dataset_iterator(
@@ -224,6 +267,7 @@ def main():
         "config": args.config,
         "remat": "off" if args.no_remat else args.remat_policy,
         "batch": BATCH,
+        "grad_accum": args.grad_accum,
         "seq": SEQ,
         "steps": n_steps,
         "num_workers": args.num_workers,
@@ -240,7 +284,7 @@ def main():
         # would recompile for minutes through the tunnel) and free its
         # state first (two MPT-1B states OOM the chip).
         del state, metrics
-        state2 = rebuild_state(cfg, optimizer)
+        state2 = rebuild_state(cfg, optimizer, qlora=qlora)
         t0 = time.perf_counter()
         state2, walls2, _ = run_loop(
             state2, step_fn, (first for _ in range(n_steps)), args.sync_every
@@ -258,7 +302,7 @@ def main():
     results["tokens_per_s"] = round(tok_s, 1)
     peak = device_peak_flops()
     if peak:
-        mfu = train_flops_per_token(cfg, SEQ) * tok_s / peak
+        mfu = train_flops_per_token(cfg, SEQ, frozen_base=qlora) * tok_s / peak
         results["mfu"] = round(mfu, 4)
         results["peak_bf16_tflops"] = round(peak / 1e12, 1)
     print(json.dumps(results, indent=1), flush=True)
