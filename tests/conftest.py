@@ -37,7 +37,12 @@ import pytest  # noqa: E402
 
 _SLOW_S = 10.0
 _DURATIONS_FILE = os.path.join(os.path.dirname(__file__), ".durations.json")
-_RECORD = bool(os.environ.get("LLARK_RECORD_DURATIONS"))
+# Record when asked explicitly, and also whenever no recording exists yet:
+# a fresh host's first full-suite run self-pins without any env var, so the
+# fast tier is host-accurate from the second run onward.
+_RECORD = bool(os.environ.get("LLARK_RECORD_DURATIONS")) or not os.path.exists(
+    _DURATIONS_FILE
+)
 _RECORDED: dict = {}
 
 
