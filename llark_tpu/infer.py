@@ -169,6 +169,8 @@ def batch_infer_continuous(
     kv_block_size: Optional[int] = None,  # paged KV (inference/paged.py)
     kv_pool_blocks: Optional[int] = None,
     admit_batch: Optional[int] = None,  # transient-HBM admission knob
+    admit_min_fill: int = 1,  # admission hysteresis (open-loop scheduling)
+    admit_max_wait_s: float = 0.05,
     allow_divergent_spec: bool = False,  # opt into sub-fp32 speculation
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
@@ -219,6 +221,8 @@ def batch_infer_continuous(
         kv_block_size=kv_block_size,
         kv_pool_blocks=kv_pool_blocks,
         admit_batch=admit_batch,
+        admit_min_fill=admit_min_fill,
+        admit_max_wait_s=admit_max_wait_s,
         allow_divergent_spec=allow_divergent_spec,
     )
     server.serve(requests)

@@ -267,10 +267,15 @@ def test_infer_cli_continuous_ngram_and_paged(trained_ckpt, tmp_path):
     outs = {}
     for name, extra in (
         ("plain", []),
-        ("ngram", ["--speculative", "ngram", "--gamma", "3"]),
+        # --allow-divergent-spec: the bf16 gate (inference/speculative.py
+        # check_spec_dtype) requires explicit opt-in below fp32; this tiny
+        # CPU model then demonstrates exactness anyway (asserted below)
+        ("ngram", ["--speculative", "ngram", "--gamma", "3",
+                   "--allow-divergent-spec"]),
         ("paged", ["--kv-block-size", "64", "--kv-pool-blocks", "8"]),
         ("paged_ngram", ["--kv-block-size", "64", "--kv-pool-blocks", "8",
-                         "--speculative", "ngram", "--gamma", "3"]),
+                         "--speculative", "ngram", "--gamma", "3",
+                         "--allow-divergent-spec"]),
     ):
         csv_path = str(tmp_path / f"cli_{name}.csv")
         main(common + ["--output", csv_path] + extra)
