@@ -77,6 +77,10 @@ ap.add_argument("--admit-min-fill", type=int, default=1,
                      "many are waiting (or --admit-max-wait-ms passes, or "
                      "no slot is decoding)")
 ap.add_argument("--admit-max-wait-ms", type=float, default=50.0)
+ap.add_argument("--prefill-chunk", type=int, default=256,
+                help="admission prefill chunk tokens; 0 = one-shot bucket "
+                     "prefill (no decode interleave during admission — "
+                     "the TTFT lever at short buckets)")
 ap.add_argument("--max-new", type=int, default=128)
 args = ap.parse_args()
 n_req = args.requests or max(12, 3 * args.slots)
@@ -108,7 +112,8 @@ def build_server(spec_mode=None, proposer=None):
                                  stop_text=""),
         max_batch=args.slots, max_cache_len=args.max_cache_len,
         prompt_buckets=(args.bucket,),
-        max_audio_frames=60, decode_chunk=16, prefill_chunk=256,
+        max_audio_frames=60, decode_chunk=16,
+        prefill_chunk=args.prefill_chunk or None,
         spec_mode=spec_mode, spec_proposer=proposer, gamma=args.gamma,
         admit_batch=args.admit_batch or None,
         admit_min_fill=args.admit_min_fill,
@@ -238,6 +243,7 @@ if args.arrival:
             "slots": args.slots, "admit_batch": args.admit_batch or args.slots,
             "admit_min_fill": args.admit_min_fill,
             "admit_max_wait_ms": args.admit_max_wait_ms,
+            "prefill_chunk": args.prefill_chunk or "one-shot",
             "max_new": args.max_new,
         }
 
