@@ -30,9 +30,15 @@ Run on a TPU host from /root/repo:
 """
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import time
+
+# hang diagnosis on long tunnel-backed runs: `kill -USR1 <pid>` dumps all
+# thread stacks to stderr without killing the run
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 import numpy as np
 
@@ -149,6 +155,7 @@ def run_loop(state, step_fn, batches, sync_every: int, next_times=None):
             sync(metrics["loss"])
             now = time.perf_counter()
             walls.append((now - t0) / sync_every)
+            print(f"  step {n}: {1e3 * walls[-1]:.0f} ms/step", flush=True)
             t0 = now
     if metrics is not None and n % sync_every:
         sync(metrics["loss"])
@@ -238,9 +245,11 @@ def main():
         num_workers=args.num_workers,
     )
 
+    print("building params/optimizer...", flush=True)
     state, step_fn, optimizer, _ = build_step(
         cfg, qlora=qlora, grad_accum=args.grad_accum
     )
+    print("params on device; compiling step on first batch...", flush=True)
 
     # warmup/compile on one pipeline batch
     it = make_dataset_iterator(
