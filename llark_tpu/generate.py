@@ -146,10 +146,14 @@ def make_paged_prefill_chunk_fn(cfg: ModelConfig):
     return chunk
 
 
-def make_prefill_last_fn(cfg: ModelConfig):
+def make_prefill_last_fn(cfg: ModelConfig, pos_offset: int = 0):
     """Jittable tail of a chunked prefill: re-run each row's LAST fused
     prompt embedding (an idempotent cache rewrite at plen-1) to obtain the
-    next-token logits the chunk passes skipped."""
+    next-token logits the chunk passes skipped.
+
+    pos_offset (static): absolute cache position of embeds[:, 0] — zero for
+    whole-prompt chunking; the block-aligned shared-prefix length when the
+    embeds hold only per-request suffixes (paged prefix caching)."""
 
     def last(params, embeds, prompt_lengths, cache):
         idx = jnp.clip(prompt_lengths - 1, 0, embeds.shape[1] - 1)
@@ -159,7 +163,7 @@ def make_prefill_last_fn(cfg: ModelConfig):
             params,
             inputs_embeds=last_embeds,
             kv_cache=cache,
-            cache_positions=idx,
+            cache_positions=idx + pos_offset,
         )
         return logits[:, 0, :], cache
 

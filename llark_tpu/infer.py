@@ -201,6 +201,15 @@ def batch_infer_continuous(
         shared_prefix = _common_prompt_prefix(
             [r.input_ids for r in requests], bundle.audio_patch_id
         )
+        if (
+            shared_prefix is not None
+            and kv_block_size is not None
+            and len(shared_prefix) < kv_block_size
+        ):
+            # paged prefix caching shares whole pool blocks; a prefix
+            # shorter than one block has nothing to share — fall back to
+            # plain paged admission rather than failing the run
+            shared_prefix = None
     server = BatchedServer(
         cfg,
         params,

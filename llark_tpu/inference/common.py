@@ -126,10 +126,14 @@ def check_serving_args(args) -> None:
                     "--kv-block-size (paged KV) does not compose with "
                     "--speculative draft; use --speculative ngram"
                 )
-            if getattr(args, "prefix_cache", False):
+            if getattr(args, "prefix_cache", False) and not getattr(
+                args, "prefill_chunk", None
+            ):
                 raise SystemExit(
-                    "--kv-block-size (paged KV) does not compose with "
-                    "--prefix-cache"
+                    "--prefix-cache with --kv-block-size (paged KV) rides "
+                    "the direct-to-pool chunked admission path: also pass "
+                    "--prefill-chunk (a bucket-sized chunk gives one-shot "
+                    "admission behavior)"
                 )
     elif getattr(args, "kv_block_size", None):
         raise SystemExit("--kv-block-size requires --continuous-batching")

@@ -259,6 +259,33 @@ def main(argv=None):
     from llark_tpu.inference.common import load_draft
 
     draft_cfg, draft_params = load_draft(args)
+    shared_prefix = None
+    if getattr(args, "prefix_cache", False):
+        # the daemon cannot see future prompts, but every request it
+        # builds opens with the SAME conversation header
+        # (format_conversation's system text, reference
+        # m2t/llava/conversation.py:237-271): derive the shareable token
+        # prefix from two maximally-different probe prompts
+        from llark_tpu.infer import _common_prompt_prefix, build_prompt_ids
+
+        probes = [
+            np.asarray(build_prompt_ids("probe one", 4, bundle), np.int32),
+            np.asarray(build_prompt_ids("entirely different probe text", 0,
+                                        bundle), np.int32),
+        ]
+        shared_prefix = _common_prompt_prefix(probes, bundle.audio_patch_id)
+        if (
+            shared_prefix is not None
+            and args.kv_block_size
+            and len(shared_prefix) < args.kv_block_size
+        ):
+            shared_prefix = None  # nothing block-aligned to share
+        if shared_prefix is None:
+            log.warning("--prefix-cache: conversation header too short to "
+                        "share; serving without it")
+        else:
+            log.info("--prefix-cache: caching the %d-token conversation "
+                     "header", len(shared_prefix))
     server = BatchedServer(
         cfg,
         params,
@@ -281,6 +308,7 @@ def main(argv=None):
         admit_min_fill=args.admit_min_fill,
         admit_max_wait_s=args.admit_max_wait_ms / 1000.0,
         allow_divergent_spec=args.allow_divergent_spec,
+        shared_prefix_ids=shared_prefix,
     )
     httpd, engine = serve_http(server, bundle, args.host, args.port)
     log.info("serving on %s:%d (%d slots)", args.host, args.port,

@@ -132,10 +132,16 @@ class BatchedServer:
         # prefix caching: every LLark request opens with the same
         # conversation header (conv_v1_2, reference
         # m2t/llava/conversation.py:237-271), so its KV is computed once
-        # and admission prefills only the per-request suffix
+        # and admission prefills only the per-request suffix. Two regimes:
+        #   dense — a b=1 prefix cache broadcast into every admission cache
+        #     (make_prefix_cache_fn / make_suffix_prefill_fn);
+        #   paged (kv_block_size set) — the block-aligned HEAD of the prefix
+        #     fills shared pool blocks every slot's table points at (the
+        #     sub-block remainder folds into each request's suffix), riding
+        #     the direct-to-pool chunked-prefill path.
         self._prefix_ids: Optional[np.ndarray] = None
         if shared_prefix_ids is not None:
-            if prefill_chunk is not None:
+            if prefill_chunk is not None and kv_block_size is None:
                 raise ValueError(
                     "prefix caching and chunked prefill are mutually "
                     "exclusive (the suffix IS the short part)"
@@ -149,15 +155,40 @@ class BatchedServer:
                     "tokens belong to the per-request suffix)"
                 )
             self._prefix_ids = pids
-            from llark_tpu.generate import make_suffix_prefill_fn
+            if kv_block_size is not None:
+                if prefill_chunk is None:
+                    raise ValueError(
+                        "paged prefix caching rides the direct-to-pool "
+                        "chunked admission path: set prefill_chunk (a "
+                        "suffix-bucket-sized chunk gives one-shot behavior)"
+                    )
+                if pids.size < kv_block_size:
+                    raise ValueError(
+                        f"shared prefix ({pids.size} tokens) is shorter "
+                        f"than one KV block ({kv_block_size}): no full "
+                        "block to share — drop prefix caching or shrink "
+                        "kv_block_size"
+                    )
+            else:
+                from llark_tpu.generate import make_suffix_prefill_fn
 
-            self._suffix_prefill = jax.jit(
-                make_suffix_prefill_fn(cfg, audio_patch_id)
-            )
-            self._prefix_cache = None  # built lazily on first admission
-            self._d_prefix_cache = None
-            self._seed_by_total: Dict[Any, Any] = {}
-        self._prefix_len = 0 if self._prefix_ids is None else int(self._prefix_ids.size)
+                self._suffix_prefill = jax.jit(
+                    make_suffix_prefill_fn(cfg, audio_patch_id)
+                )
+                self._prefix_cache = None  # built lazily on first admission
+                self._d_prefix_cache = None
+                self._seed_by_total: Dict[Any, Any] = {}
+        # full length for prompt matching; the CACHED length (everything
+        # admission may skip) is block-aligned in paged mode
+        self._prefix_match_len = (
+            0 if self._prefix_ids is None else int(self._prefix_ids.size)
+        )
+        if self._prefix_ids is not None and kv_block_size is not None:
+            self._prefix_len = (
+                self._prefix_match_len // kv_block_size
+            ) * kv_block_size
+        else:
+            self._prefix_len = self._prefix_match_len
 
         # one prefill program per prompt bucket, with a BUCKET-sized cache:
         # admission only needs the prompt positions (the row splice into the
@@ -186,8 +217,13 @@ class BatchedServer:
             self._prefill_chunk = jax.jit(
                 make_prefill_chunk_fn(cfg), donate_argnums=(3,)
             )
+            # pos_offset: with paged prefix caching the chunked embeds hold
+            # only suffixes, whose absolute positions start at the block-
+            # aligned shared-prefix length (zero everywhere else — dense
+            # prefix mode excludes chunking)
             self._prefill_last = jax.jit(
-                make_prefill_last_fn(cfg), donate_argnums=(3,)
+                make_prefill_last_fn(cfg, pos_offset=self._prefix_len),
+                donate_argnums=(3,),
             )
         self._decode_n = jax.jit(
             make_multistep_decode_fn(cfg, self.gen_cfg, decode_chunk),
@@ -317,8 +353,6 @@ class BatchedServer:
                     "paged KV + fused draft speculation is not supported; "
                     "use spec_mode='ngram' for speculative paged serving"
                 )
-            if shared_prefix_ids is not None:
-                raise ValueError("paged KV + prefix caching not supported")
             if max_cache_len % kv_block_size:
                 raise ValueError(
                     f"max_cache_len {max_cache_len} must be a multiple of "
@@ -364,6 +398,9 @@ class BatchedServer:
             self._slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
             self._paged_insert_by_n: Dict[int, Any] = {}
             self._prefill_chunk_paged = None
+            # paged prefix caching: pool blocks holding the block-aligned
+            # shared-prefix KV, read by every slot's table, never freed
+            self._shared_block_ids: Optional[List[int]] = None
 
         # persistent batched cache, built lazily from the first prefill's
         # row cache structure (avoids duplicating init_kv_cache shapes here)
@@ -397,7 +434,8 @@ class BatchedServer:
 
     def _suffix_len(self, req: Request) -> int:
         """Tokens the admission prefill must actually compute (the whole
-        prompt without prefix caching; the per-request suffix with it)."""
+        prompt without prefix caching; the per-request suffix with it —
+        which in paged mode includes the prefix's sub-block remainder)."""
         return len(req.input_ids) - self._prefix_len
 
     def _check_prefix(self, req: Request) -> Optional[str]:
@@ -406,7 +444,7 @@ class BatchedServer:
         if self._prefix_ids is None:
             return None
         ids = np.asarray(req.input_ids)
-        p = self._prefix_len
+        p = self._prefix_match_len
         if len(ids) <= p or not np.array_equal(ids[:p], self._prefix_ids):
             return (
                 f"prompt must start with the {p}-token shared prefix and "
@@ -416,7 +454,7 @@ class BatchedServer:
 
     def _ensure_prefix_caches(self) -> None:
         """Lazily run the one-time b=1 prefix prefill (target and draft)."""
-        if self._prefix_ids is None or self._prefix_cache is not None:
+        if self._prefix_ids is None or self.paged or self._prefix_cache is not None:
             return
         from llark_tpu.generate import make_prefix_cache_fn
 
@@ -465,6 +503,63 @@ class BatchedServer:
         pc = self._prefix_cache if which == "t" else self._d_prefix_cache
         return fn(pc)
 
+    def _ensure_paged_prefix(self) -> None:
+        """Lazily fill the shared-prefix pool blocks (paged prefix caching):
+        allocate ceil-free blocks for the block-aligned prefix head, run ONE
+        direct-to-pool chunk forward over its embeddings, and pin the block
+        ids for every admission table. Runs once per server lifetime."""
+        if (
+            not self.paged
+            or self._prefix_ids is None
+            or self._shared_block_ids is not None
+        ):
+            return
+        if self._cache is None:
+            from llark_tpu.models.decoder import init_paged_kv_cache
+
+            self._cache = init_paged_kv_cache(
+                self.cfg, self.max_batch, self.kv_pool_blocks,
+                self.kv_block_size, self._max_blocks,
+            )
+        n_shared = self._prefix_len // self.kv_block_size
+        blocks = self._allocator.alloc(n_shared)
+        if blocks is None:
+            raise RuntimeError(
+                f"pool of {self.kv_pool_blocks} blocks cannot hold the "
+                f"{n_shared}-block shared prefix"
+            )
+        if self._prefill_chunk_paged is None:
+            from llark_tpu.generate import make_paged_prefill_chunk_fn
+
+            self._prefill_chunk_paged = jax.jit(
+                make_paged_prefill_chunk_fn(self.cfg),
+                donate_argnums=(3,),
+            )
+        from llark_tpu.models.decoder import embed_tokens
+
+        ids1 = jnp.asarray(self._prefix_ids[None, : self._prefix_len])
+        embeds = jax.jit(
+            lambda p, i: embed_tokens(self.cfg, p, i)
+        )(self.params, ids1)
+        pool_keys = [
+            kk for kk in ("k", "v", "k_scale", "v_scale") if kk in self._cache
+        ]
+        tmp = {kk: self._cache[kk] for kk in pool_keys}
+        tmp["index"] = jnp.zeros((), jnp.int32)
+        tmp["block_tables"] = jnp.asarray(
+            np.asarray(blocks, np.int32)[None, :]
+        )
+        # one block-aligned chunk covering the whole cached prefix (a
+        # one-time program; its transient is a single [1, P', H] forward)
+        tmp = self._prefill_chunk_paged(
+            self.params, embeds,
+            jnp.full((1,), self._prefix_len, jnp.int32),
+            tmp, jnp.int32(0),
+        )
+        for kk in pool_keys:
+            self._cache[kk] = tmp[kk]
+        self._shared_block_ids = blocks
+
     def _headroom(self) -> int:
         """Cache positions a live row may write past its stop point before
         the host truncates it (one source for serve()'s capacity check and
@@ -476,11 +571,14 @@ class BatchedServer:
         return self.decode_chunk
 
     def _block_budget(self, suffix_len: int, bucket: int) -> int:
-        """Physical blocks a request needs for its whole lifetime: the
-        admission insert covers the full bucket span; decode then writes
-        up to max_new + headroom past the prompt."""
+        """PRIVATE physical blocks a request needs for its whole lifetime:
+        the admission insert covers the full bucket span; decode then writes
+        up to max_new + headroom past the prompt. With paged prefix caching
+        the span is measured from the block-aligned shared-prefix boundary
+        (the shared blocks are not counted — they are pool-wide)."""
         span = max(bucket, suffix_len + self.gen_cfg.max_new_tokens + self._headroom())
-        return -(-min(span, self.max_cache_len) // self.kv_block_size)
+        cap = self.max_cache_len - self._prefix_len
+        return -(-min(span, cap) // self.kv_block_size)
 
     def _refresh_tables(self) -> None:
         if self.paged and self._tables_dirty and self._cache is not None:
@@ -519,6 +617,7 @@ class BatchedServer:
         the head of the queue are prefilled together in ONE batched call
         (a burst of k arrivals costs one prefill, not k)."""
         self._ensure_prefix_caches()
+        self._ensure_paged_prefix()
         while self._queue and self._free_slots() and self._admit_ready():
             # prefix-caching servers reject prompts that don't open with
             # the shared prefix (fail the request, not the batch)
@@ -579,7 +678,7 @@ class BatchedServer:
                         t = min(req.audio_encoding.shape[0], self.max_audio_frames)
                         audio[j, :t] = req.audio_encoding[:t]
                         fcnt[j] = t
-                if self._prefix_ids is not None:
+                if self._prefix_ids is not None and not self.paged:
                     cache0 = self._seeded_admission_cache(
                         "t", self._prefix_len + head_bucket
                     )
@@ -607,11 +706,19 @@ class BatchedServer:
                                 self.cfg, self.max_batch, self.kv_pool_blocks,
                                 self.kv_block_size, self._max_blocks,
                             )
-                        span = head_bucket // self.kv_block_size
+                        # with paged prefix caching, every row's table leads
+                        # with the shared-prefix blocks so suffix queries can
+                        # attend them; suffix writes land past the boundary
+                        n_shared = self._prefix_len // self.kv_block_size
+                        span = n_shared + head_bucket // self.kv_block_size
                         admit_tables = np.empty((k, span), np.int32)
                         for j in range(k):
                             if j < len(group):
-                                admit_tables[j, :] = pending_blocks[j][:span]
+                                if n_shared:
+                                    admit_tables[j, :n_shared] = self._shared_block_ids
+                                admit_tables[j, n_shared:] = pending_blocks[j][
+                                    : span - n_shared
+                                ]
                             else:
                                 admit_tables[j, :] = j  # parking block
                     logits, new_cache = self._chunked_prefill(
@@ -681,9 +788,13 @@ class BatchedServer:
                 slot = slots[j]
                 if self.paged:
                     blocks = pending_blocks[j]
-                    self._slot_blocks[slot] = blocks
+                    self._slot_blocks[slot] = blocks  # private only: the
+                    # shared-prefix blocks are pool-wide and never freed
+                    ns = self._prefix_len // self.kv_block_size
                     self._host_tables[slot, :] = slot  # parking default
-                    self._host_tables[slot, : len(blocks)] = blocks
+                    if ns:
+                        self._host_tables[slot, :ns] = self._shared_block_ids
+                    self._host_tables[slot, ns : ns + len(blocks)] = blocks
                     self._tables_dirty = True
                     if new_cache is None:
                         # direct-to-pool chunked prefill: the K/V already
@@ -739,9 +850,10 @@ class BatchedServer:
             self.params, jnp.asarray(ids), jnp.asarray(audio), jnp.asarray(fcnt)
         )  # [k, bucket, H] fused (audio frames spliced in)
         pad = (-bucket) % self.prefill_chunk
-        if bucket + pad > self.max_cache_len:
+        if self._prefix_len + bucket + pad > self.max_cache_len:
             raise ValueError(
-                f"bucket {bucket} padded to {bucket + pad} exceeds "
+                f"bucket {bucket} padded to {bucket + pad} (after a "
+                f"{self._prefix_len}-token cached prefix) exceeds "
                 f"max_cache_len {self.max_cache_len}; pick a prefill_chunk "
                 "that divides the bucket or enlarge the cache"
             )
@@ -773,15 +885,20 @@ class BatchedServer:
             tmp = {kk: self._cache[kk] for kk in pool_keys}
             tmp["index"] = jnp.zeros((), jnp.int32)
             tmp["block_tables"] = jnp.asarray(admit_tables)
+            # with paged prefix caching the embeds hold only suffixes: their
+            # absolute positions (chunk starts, live lengths) are offset by
+            # the block-aligned cached-prefix length
+            base = self._prefix_len
+            plens_abs = plens_j + base if base else plens_j
             for c in range(0, bucket + pad, self.prefill_chunk):
                 tmp = self._prefill_chunk_paged(
                     self.params,
                     jax.lax.dynamic_slice_in_dim(
                         padded, c, self.prefill_chunk, axis=1
                     ),
-                    plens_j,
+                    plens_abs,
                     tmp,
-                    jnp.int32(c),
+                    jnp.int32(base + c),
                 )
                 if c + self.prefill_chunk < bucket + pad:
                     # hand the pool back for the interleaved decode, then

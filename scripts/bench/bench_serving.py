@@ -13,7 +13,13 @@ the acceptance->throughput curve (deterministic rng; the verify pass
 keeps output tokens exact regardless of P)."""
 import argparse
 import dataclasses
+import faulthandler
+import signal
 import time
+
+# hang diagnosis on tunnel-backed runs: `kill -USR1 <pid>` dumps all
+# thread stacks to stderr without killing the run
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 import numpy as np
 import jax
@@ -82,12 +88,33 @@ ap.add_argument("--prefill-chunk", type=int, default=256,
                      "prefill (no decode interleave during admission — "
                      "the TTFT lever at short buckets)")
 ap.add_argument("--max-new", type=int, default=128)
+ap.add_argument("--shared-prefix", type=int, default=0,
+                help="prepend a fixed N-token header to every prompt (the "
+                     "LLark conversation-header workload, reference "
+                     "m2t/llava/conversation.py:237-271 scaled up)")
+ap.add_argument("--prefix-cache", type=int, default=1,
+                help="with --shared-prefix: 1 = the server caches the "
+                     "header KV (dense broadcast or paged shared blocks); "
+                     "0 = the header is served as ordinary prompt tokens "
+                     "(the A/B baseline). The suffix bucket --bucket is "
+                     "widened by the header length automatically when the "
+                     "cache is off so both sides serve identical prompts")
 args = ap.parse_args()
+if args.shared_prefix and args.prefix_cache:
+    if args.paged and args.shared_prefix % args.paged:
+        raise SystemExit("--shared-prefix must be a multiple of the paged "
+                         "block size (whole shared blocks)")
+    if not args.paged and args.prefill_chunk:
+        raise SystemExit("dense prefix caching excludes chunked admission: "
+                         "pass --prefill-chunk 0")
 n_req = args.requests or max(12, 3 * args.slots)
+header = rng.randint(0, 31996, size=(args.shared_prefix,)).astype(np.int32)
 prompts = []
 for i in range(n_req):
     n = args.prompt_base + (i * 17) % 120
     ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
+    if args.shared_prefix:
+        ids = np.concatenate([header, ids])
     audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
     prompts.append((ids, audio))
 
@@ -106,12 +133,23 @@ def build_server(spec_mode=None, proposer=None):
             args.slots + 8 * args.max_cache_len // args.paged
         )
         paged_kw = dict(kv_block_size=args.paged, kv_pool_blocks=pool)
+    prefix_kw = {}
+    bucket = args.bucket
+    if args.shared_prefix and args.prefix_cache:
+        prefix_kw = dict(shared_prefix_ids=header)
+    elif args.shared_prefix:
+        # cache off: the header rides inside every prompt, so the (suffix)
+        # bucket must cover header + tail — identical prompts, honest A/B
+        bucket += args.shared_prefix
+        if args.prefill_chunk:  # paged chunking needs chunk-aligned buckets
+            bucket += (-bucket) % args.prefill_chunk
     return BatchedServer(
         cfg, params, audio_patch_id=31999,
         gen_cfg=GenerationConfig(max_new_tokens=args.max_new, temperature=0.0,
                                  stop_text=""),
         max_batch=args.slots, max_cache_len=args.max_cache_len,
-        prompt_buckets=(args.bucket,),
+        prompt_buckets=(bucket,),
+        **prefix_kw,
         max_audio_frames=60, decode_chunk=16,
         prefill_chunk=args.prefill_chunk or None,
         spec_mode=spec_mode, spec_proposer=proposer, gamma=args.gamma,
@@ -245,6 +283,8 @@ if args.arrival:
             "admit_max_wait_ms": args.admit_max_wait_ms,
             "prefill_chunk": args.prefill_chunk or "one-shot",
             "max_new": args.max_new,
+            "shared_prefix": args.shared_prefix,
+            "prefix_cache": bool(args.shared_prefix and args.prefix_cache),
         }
 
     server = build_server("ngram" if args.spec == "ngram" else None)
@@ -340,6 +380,9 @@ rates = [
 stats["ngram_acceptance_g4"] = round(float(np.mean(rates)), 3) if rates else None
 stats["slots"] = args.slots
 stats["max_cache_len"] = args.max_cache_len
+if args.shared_prefix:
+    stats["shared_prefix"] = args.shared_prefix
+    stats["prefix_cache"] = bool(args.prefix_cache)
 if args.admit_batch:
     stats["admit_batch"] = args.admit_batch
 if args.paged:

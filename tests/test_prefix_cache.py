@@ -113,6 +113,128 @@ def test_common_prompt_prefix_helper():
     assert _common_prompt_prefix([a, np.array([1, 9, 9], np.int32)], ap) is None
 
 
+def test_paged_prefix_matches_dense_and_plain_paged(setup):
+    """Paged prefix caching (shared pool blocks + suffix-only direct-to-
+    pool chunked prefill) is token-identical at fp32 to BOTH the plain
+    dense server and the plain paged server on the same requests. The
+    12-token header shares one 8-token block; its 4-token remainder folds
+    into every suffix."""
+    bundle, cfg, params, header, reqs = setup
+    ref, _ = _serve(bundle, cfg, params, reqs, max_new=6)
+    paged_plain, _ = _serve(
+        bundle, cfg, params, reqs, max_new=6,
+        kv_block_size=8, prefill_chunk=8,
+    )
+    got, server = _serve(
+        bundle, cfg, params, reqs, max_new=6,
+        shared_prefix_ids=header, kv_block_size=8, prefill_chunk=8,
+    )
+    assert server._prefix_match_len == len(header) == 12
+    assert server._prefix_len == 8  # block-aligned head
+    assert server._shared_block_ids is not None
+    assert len(server._shared_block_ids) == 1
+    for i, (r, p, g) in enumerate(zip(ref, paged_plain, got)):
+        assert r == p, f"request {i} (plain paged): {r} != {p}"
+        assert r == g, f"request {i} (paged prefix): {r} != {g}"
+
+
+def test_paged_prefix_pool_accounting(setup):
+    """Shared prefix blocks are allocated once and NEVER freed; every
+    private block returns to the pool at retirement."""
+    bundle, cfg, params, header, reqs = setup
+    _, server = _serve(
+        bundle, cfg, params, reqs, max_new=6,
+        shared_prefix_ids=header, kv_block_size=8, prefill_chunk=8,
+    )
+    alloc = server._allocator
+    n_shared = len(server._shared_block_ids)
+    # pool minus parking minus shared == free after all retirements
+    assert alloc.free_blocks == (
+        server.kv_pool_blocks - alloc.num_reserved - n_shared
+    )
+    assert all(b not in alloc._free for b in server._shared_block_ids)
+    assert all(not blks for blks in server._slot_blocks)
+
+
+def test_paged_prefix_config_guards(setup):
+    bundle, cfg, params, header, _ = setup
+    # paged prefix rides the chunked direct-to-pool path
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        BatchedServer(cfg, params, bundle.audio_patch_id,
+                      shared_prefix_ids=header, kv_block_size=8)
+    # a prefix shorter than one block has nothing to share
+    with pytest.raises(ValueError, match="shorter"):
+        BatchedServer(cfg, params, bundle.audio_patch_id,
+                      shared_prefix_ids=header[:5], kv_block_size=8,
+                      prefill_chunk=8)
+
+
+def test_daemon_probe_prefix_paged_engine():
+    """The HTTP daemon derives the shareable prefix from two probe
+    prompts (it cannot see future requests); every REAL prompt built by
+    build_prompt_ids must then start with that prefix, and paged-prefix
+    serving through the OnlineEngine must match the plain server."""
+    from llark_tpu.infer import _common_prompt_prefix, build_prompt_ids
+    from llark_tpu.inference.http_server import OnlineEngine
+
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    prompts = ["describe this sound .", "what genre is it ?", "explain ."]
+    probes = [
+        np.asarray(build_prompt_ids("probe one", 4, bundle), np.int32),
+        np.asarray(
+            build_prompt_ids("entirely different probe text", 0, bundle),
+            np.int32,
+        ),
+    ]
+    for p in prompts:  # intern the full vocab BEFORE sizing the model
+        build_prompt_ids(p, 3, bundle)
+    cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(1))
+    shared = _common_prompt_prefix(probes, bundle.audio_patch_id)
+    assert shared is not None and len(shared) >= 8
+    rng = np.random.RandomState(3)
+    reqs = []
+    for p in prompts:
+        ids = np.asarray(build_prompt_ids(p, 3, bundle), np.int32)
+        assert np.array_equal(ids[: len(shared)], shared), p
+        reqs.append((ids, rng.randn(3, cfg.mm_hidden_size).astype(np.float32)))
+    kw = dict(max_new=5, kv_block_size=8, prefill_chunk=8,
+              max_cache_len=128, prompt_buckets=(64,))
+    ref, _ = _serve_buckets(bundle, cfg, params, reqs, **kw)
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=5, temperature=0.0, stop_text="",
+                         decode_chunk=2),
+        max_batch=2, max_cache_len=128, prompt_buckets=(64,),
+        max_audio_frames=4, tokenizer=bundle.tokenizer,
+        shared_prefix_ids=shared, kv_block_size=8, prefill_chunk=8,
+    )
+    engine = OnlineEngine(server).start()
+    try:
+        got = [
+            engine.generate(Request(ids, audio), timeout=120).tokens
+            for ids, audio in reqs
+        ]
+    finally:
+        engine.stop()
+    assert got == ref
+
+
+def _serve_buckets(bundle, cfg, params, reqs, max_new, max_cache_len,
+                   prompt_buckets, **kw):
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=max_cache_len,
+        prompt_buckets=prompt_buckets, max_audio_frames=4,
+        tokenizer=bundle.tokenizer, **kw,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    return [r.tokens for r in out], server
+
+
 def test_prefix_with_speculative_draft(setup):
     """Prefix caching composes with draft-model speculative serving (the
     draft cache is prefix-seeded too); tokens match plain serving."""
