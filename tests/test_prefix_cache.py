@@ -235,6 +235,26 @@ def _serve_buckets(bundle, cfg, params, reqs, max_new, max_cache_len,
     return [r.tokens for r in out], server
 
 
+def test_prefix_with_ngram_speculation(setup):
+    """Prefix caching composes with draft-free n-gram speculation in BOTH
+    cache regimes (dense broadcast and paged shared blocks); fp32 greedy
+    tokens match plain serving exactly."""
+    bundle, cfg, params, header, reqs = setup
+    ref, _ = _serve(bundle, cfg, params, reqs, max_new=6)
+    dense, _ = _serve(
+        bundle, cfg, params, reqs, max_new=6,
+        shared_prefix_ids=header, spec_mode="ngram", gamma=2,
+    )
+    paged, _ = _serve(
+        bundle, cfg, params, reqs, max_new=6,
+        shared_prefix_ids=header, spec_mode="ngram", gamma=2,
+        kv_block_size=8, prefill_chunk=8,
+    )
+    for i, (r, d, p) in enumerate(zip(ref, dense, paged)):
+        assert r == d, f"request {i} (dense prefix + ngram): {r} != {d}"
+        assert r == p, f"request {i} (paged prefix + ngram): {r} != {p}"
+
+
 def test_prefix_with_speculative_draft(setup):
     """Prefix caching composes with draft-model speculative serving (the
     draft cache is prefix-seeded too); tokens match plain serving."""
