@@ -121,10 +121,11 @@ def check_serving_args(args) -> None:
         if spec == "draft" and not getattr(args, "draft_checkpoint_dir", None):
             raise SystemExit("--speculative draft requires --draft-checkpoint-dir")
         if getattr(args, "kv_block_size", None):
-            if spec == "draft":
+            if spec == "draft" and getattr(args, "prefix_cache", False):
                 raise SystemExit(
-                    "--kv-block-size (paged KV) does not compose with "
-                    "--speculative draft; use --speculative ngram"
+                    "--kv-block-size + --prefix-cache does not compose "
+                    "with --speculative draft (the dense draft cache "
+                    "would miss the shared prefix); drop one"
                 )
             if getattr(args, "prefix_cache", False) and not getattr(
                 args, "prefill_chunk", None

@@ -348,10 +348,11 @@ class BatchedServer:
         self.kv_block_size = kv_block_size
         self.paged = kv_block_size is not None
         if self.paged:
-            if draft_cfg is not None:
+            if draft_cfg is not None and shared_prefix_ids is not None:
                 raise ValueError(
-                    "paged KV + fused draft speculation is not supported; "
-                    "use spec_mode='ngram' for speculative paged serving"
+                    "paged prefix caching + fused draft speculation is not "
+                    "supported: the draft cache is dense and would miss "
+                    "the shared-prefix KV (drop one of the two)"
                 )
             if max_cache_len % kv_block_size:
                 raise ValueError(
@@ -379,7 +380,9 @@ class BatchedServer:
                     f"cache): the paged decode kernel double-buffers whole "
                     f"pool blocks and cannot subdivide them"
                 )
-            if spec_mode is not None and gamma + 1 > kv_block_size:
+            if (
+                spec_mode is not None or draft_cfg is not None
+            ) and gamma + 1 > kv_block_size:
                 raise ValueError("gamma+1 must fit in one KV block")
             from llark_tpu.inference.paged import BlockAllocator
 
@@ -1060,6 +1063,7 @@ class BatchedServer:
         active = self._active()
         if not active:
             return
+        self._refresh_tables()  # paged: fused rounds read/write via tables
         prev = np.zeros((self.max_batch,), np.int32)
         last = np.zeros((self.max_batch,), np.int32)
         pos = np.full(

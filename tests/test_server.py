@@ -268,6 +268,35 @@ def test_paged_server_with_ngram_spec(setup):
     assert [r.tokens for r in out] == ref
 
 
+def test_paged_server_with_draft_spec(setup):
+    """Paged KV composes with FUSED draft speculation (round 4; was an
+    excluded combination): the fused propose->verify rounds write the
+    target cache through the block tables while the dense draft cache
+    rides alongside; greedy tokens stay exactly the plain ones even with
+    a near-zero-acceptance random draft."""
+    bundle, cfg, params, reqs = setup
+    max_new = 6
+    ref = _reference_tokens(bundle, cfg, params, reqs, max_new)
+
+    draft_cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    draft_cfg.vocab_size = cfg.vocab_size
+    draft_params = init_llark_params(draft_cfg, jax.random.PRNGKey(7))
+
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                         stop_text="", decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2,
+        draft_cfg=draft_cfg, draft_params=draft_params,
+        gamma=3, spec_rounds=2,
+        kv_block_size=16, kv_pool_blocks=2 + 6,
+    )
+    out = server.serve([Request(ids, audio) for ids, audio in reqs])
+    assert [r.tokens for r in out] == ref
+    assert server._allocator.free_blocks == 6  # all blocks returned
+
+
 def test_server_admit_batch_one_matches_generator(setup):
     """admit_batch=1 (the transient-HBM knob: each admission prefills a
     single row) still produces the exact one-shot greedy tokens — both on
