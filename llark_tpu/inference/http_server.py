@@ -246,6 +246,13 @@ def main(argv=None):
     p.add_argument("--continuous-batching", type=int, default=4, metavar="SLOTS")
     p.add_argument("--max-audio-frames", type=int, default=256)
     p.add_argument("--prompt-buckets", default="128,512")
+    p.add_argument("--mesh-shape", default=None,
+                   help="serve tensor/data-parallel over a device mesh, "
+                        "e.g. '1,1,4' = 4-way TP: params are committed "
+                        "with the training shardings and every slot-"
+                        "engine program runs under GSPMD (KV cache "
+                        "shards over heads). Pallas kernels are replaced "
+                        "by the XLA paths under a mesh")
     add_generation_args(p)
     args = p.parse_args(argv)
     # the daemon IS the continuous-batching engine: beam flags are
@@ -259,6 +266,11 @@ def main(argv=None):
     from llark_tpu.inference.common import load_draft
 
     draft_cfg, draft_params = load_draft(args)
+    mesh = None
+    if args.mesh_shape:
+        from llark_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(tuple(int(x) for x in args.mesh_shape.split(",")))
     shared_prefix = None
     if getattr(args, "prefix_cache", False):
         # the daemon cannot see future prompts, but every request it
@@ -309,6 +321,7 @@ def main(argv=None):
         admit_max_wait_s=args.admit_max_wait_ms / 1000.0,
         allow_divergent_spec=args.allow_divergent_spec,
         shared_prefix_ids=shared_prefix,
+        mesh=mesh,
     )
     httpd, engine = serve_http(server, bundle, args.host, args.port)
     log.info("serving on %s:%d (%d slots)", args.host, args.port,

@@ -91,14 +91,47 @@ class BatchedServer:
         allow_divergent_spec: bool = False,
         admit_min_fill: int = 1,
         admit_max_wait_s: float = 0.05,
+        mesh=None,
     ):
+        import dataclasses as _dc
+
+        self.mesh = mesh
+        if mesh is not None:
+            # tensor/data-parallel serving: params are committed with the
+            # training-identical Megatron/ZeRO shardings
+            # (parallel/mesh.py) and every server program inherits its
+            # input shardings — GSPMD inserts the wo/w_down all-reduces
+            # and shards the KV cache over heads by propagation from the
+            # column-parallel wk/wv, exactly as parallel/serving.py's
+            # one-shot ShardedGenerator. Pallas kernels cannot be
+            # partitioned by GSPMD, so mesh serving pins the XLA
+            # attention/decode paths (same policy as ShardedGenerator).
+            cfg = _dc.replace(
+                cfg, use_flash_decode=False, use_pallas_attention=False
+            )
+            from llark_tpu.parallel.mesh import (
+                adapt_specs_to_params,
+                param_partition_specs,
+                param_shardings,
+            )
+
+            pspecs = adapt_specs_to_params(param_partition_specs(cfg), params)
+            params = jax.tree.map(
+                jax.device_put, params, param_shardings(mesh, pspecs)
+            )
+            if (draft_cfg is None) == (draft_params is None) and draft_params is not None:
+                d_pspecs = adapt_specs_to_params(
+                    param_partition_specs(draft_cfg), draft_params
+                )
+                draft_params = jax.tree.map(
+                    jax.device_put, draft_params,
+                    param_shardings(mesh, d_pspecs),
+                )
         if cfg.use_flash_decode is None:
             # serving regime: the cache is provisioned for max context and
             # live length is usually well below it -- the Pallas flash-
             # decode kernel's live-only reads win here (PERFORMANCE.md
             # round-2 crossover: live < ~0.55x padded)
-            import dataclasses as _dc
-
             cfg = _dc.replace(cfg, use_flash_decode=True)
         self.cfg = cfg
         self.params = params

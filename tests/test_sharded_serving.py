@@ -47,6 +47,71 @@ def test_sharded_matches_single_chip(setup, mesh_shape):
     assert got == ref
 
 
+def test_sharded_batched_server_matches_single(setup):
+    """TP/DP-sharded CONTINUOUS BATCHING (round 4): BatchedServer(mesh=)
+    commits params with the training shardings and every slot-engine
+    program (admission prefill, insert, chunked decode) runs under GSPMD;
+    greedy tokens equal the single-device server exactly."""
+    from llark_tpu.generate import GenerationConfig as GC
+    from llark_tpu.inference.server import BatchedServer, Request
+
+    bundle, cfg, params, ids, plens, audio, fcnt = setup
+    reqs = [
+        (ids[i, : plens[i]].copy(), audio[i, : fcnt[i]].copy())
+        for i in range(len(plens))
+    ]
+    gen_cfg = GC(max_new_tokens=6, temperature=0.0, stop_text="",
+                 decode_chunk=2)
+
+    def serve(**kw):
+        server = BatchedServer(
+            cfg, params, bundle.audio_patch_id, gen_cfg,
+            max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+            max_audio_frames=4, tokenizer=bundle.tokenizer, **kw,
+        )
+        out = server.serve([Request(i, a) for i, a in reqs])
+        return [r.tokens for r in out]
+
+    ref = serve()
+    got = serve(mesh=make_mesh((1, 2, 4)))
+    assert got == ref
+
+
+def test_sharded_batched_server_paged_prefix(setup):
+    """The full serving feature matrix under GSPMD: paged KV (sharded
+    block pool) + shared-prefix pool blocks + chunked direct-to-pool
+    admission, on an 8-device mesh — token-equal to the plain server."""
+    from llark_tpu.generate import GenerationConfig as GC
+    from llark_tpu.inference.server import BatchedServer, Request
+
+    bundle, cfg, params, ids, plens, audio, fcnt = setup
+    rng = np.random.RandomState(11)
+    header = rng.randint(4, 40, 9).astype(np.int32)
+    reqs = [
+        (np.concatenate([header, ids[i, : plens[i]]]),
+         audio[i, : fcnt[i]].copy())
+        for i in range(len(plens))
+    ]
+    gen_cfg = GC(max_new_tokens=6, temperature=0.0, stop_text="",
+                 decode_chunk=2)
+
+    def serve(**kw):
+        server = BatchedServer(
+            cfg, params, bundle.audio_patch_id, gen_cfg,
+            max_batch=2, max_cache_len=64, prompt_buckets=(32,),
+            max_audio_frames=4, tokenizer=bundle.tokenizer, **kw,
+        )
+        out = server.serve([Request(i, a) for i, a in reqs])
+        return [r.tokens for r in out]
+
+    ref = serve()
+    got = serve(
+        mesh=make_mesh((1, 2, 4)), shared_prefix_ids=header,
+        kv_block_size=8, prefill_chunk=8,
+    )
+    assert got == ref
+
+
 def test_sharded_keyword_stopping(setup):
     bundle, cfg, params, ids, plens, audio, fcnt = setup
     gen_cfg = GenerationConfig(max_new_tokens=8, temperature=0.0,
