@@ -112,6 +112,38 @@ def test_sharded_batched_server_paged_prefix(setup):
     assert got == ref
 
 
+def test_sharded_batched_server_draft_spec(setup):
+    """Fused draft speculation under GSPMD: draft params shard with their
+    own specs alongside the target's; greedy tokens equal plain serving."""
+    from llark_tpu.generate import GenerationConfig as GC
+    from llark_tpu.inference.server import BatchedServer, Request
+
+    bundle, cfg, params, ids, plens, audio, fcnt = setup
+    draft_cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    draft_cfg.vocab_size = cfg.vocab_size
+    draft_params = init_llark_params(draft_cfg, jax.random.PRNGKey(7))
+    reqs = [
+        (ids[i, : plens[i]].copy(), audio[i, : fcnt[i]].copy())
+        for i in range(len(plens))
+    ]
+    gen_cfg = GC(max_new_tokens=5, temperature=0.0, stop_text="",
+                 decode_chunk=2)
+
+    def serve(**kw):
+        server = BatchedServer(
+            cfg, params, bundle.audio_patch_id, gen_cfg,
+            max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+            max_audio_frames=4, tokenizer=bundle.tokenizer, **kw,
+        )
+        out = server.serve([Request(i, a) for i, a in reqs])
+        return [r.tokens for r in out]
+
+    ref = serve()
+    got = serve(mesh=make_mesh((1, 2, 4)), draft_cfg=draft_cfg,
+                draft_params=draft_params, gamma=2, spec_rounds=1)
+    assert got == ref
+
+
 def test_sharded_keyword_stopping(setup):
     bundle, cfg, params, ids, plens, audio, fcnt = setup
     gen_cfg = GenerationConfig(max_new_tokens=8, temperature=0.0,
