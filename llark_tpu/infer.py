@@ -133,7 +133,10 @@ def _common_prompt_prefix(
     """Longest common token prefix across prompts, clamped to text-only
     (audio tokens belong to suffixes) and to leave every request at least
     one suffix token. None when shorter than `min_len` (not worth a
-    dedicated prefill program)."""
+    dedicated prefill program). Paged callers pass
+    min_len=max(8, kv_block_size): sharing rides whole pool blocks, so a
+    sub-block prefix has nothing to share (BatchedServer rejects it,
+    server.py __init__)."""
     lcp = np.asarray(id_lists[0], np.int32)
     for ids in id_lists[1:]:
         ids = np.asarray(ids, np.int32)
@@ -199,17 +202,9 @@ def batch_infer_continuous(
     shared_prefix = None
     if prefix_cache and requests:
         shared_prefix = _common_prompt_prefix(
-            [r.input_ids for r in requests], bundle.audio_patch_id
+            [r.input_ids for r in requests], bundle.audio_patch_id,
+            min_len=max(8, kv_block_size or 0),
         )
-        if (
-            shared_prefix is not None
-            and kv_block_size is not None
-            and len(shared_prefix) < kv_block_size
-        ):
-            # paged prefix caching shares whole pool blocks; a prefix
-            # shorter than one block has nothing to share — fall back to
-            # plain paged admission rather than failing the run
-            shared_prefix = None
     server = BatchedServer(
         cfg,
         params,

@@ -88,6 +88,9 @@ class OnlineEngine:
                 for slot, r in enumerate(srv._slot_req):
                     if r is not None:
                         srv._slot_req[slot] = None
+                        # paged mode: return the aborted row's pool blocks —
+                        # clearing the slot alone would leak them forever
+                        srv._release_blocks(slot)
                 for req, ev in tracked.values():
                     req.error = f"{type(e).__name__}: {e}"
                     ev.set()
@@ -285,13 +288,10 @@ def main(argv=None):
             np.asarray(build_prompt_ids("entirely different probe text", 0,
                                         bundle), np.int32),
         ]
-        shared_prefix = _common_prompt_prefix(probes, bundle.audio_patch_id)
-        if (
-            shared_prefix is not None
-            and args.kv_block_size
-            and len(shared_prefix) < args.kv_block_size
-        ):
-            shared_prefix = None  # nothing block-aligned to share
+        shared_prefix = _common_prompt_prefix(
+            probes, bundle.audio_patch_id,
+            min_len=max(8, args.kv_block_size or 0),
+        )
         if shared_prefix is None:
             log.warning("--prefix-cache: conversation header too short to "
                         "share; serving without it")

@@ -119,7 +119,14 @@ class BatchedServer:
             params = jax.tree.map(
                 jax.device_put, params, param_shardings(mesh, pspecs)
             )
-            if (draft_cfg is None) == (draft_params is None) and draft_params is not None:
+            if draft_cfg is not None and draft_params is not None:
+                # the draft runs inside the same GSPMD programs: its
+                # Pallas paths must be pinned off exactly like the target's
+                draft_cfg = _dc.replace(
+                    draft_cfg,
+                    use_flash_decode=False,
+                    use_pallas_attention=False,
+                )
                 d_pspecs = adapt_specs_to_params(
                     param_partition_specs(draft_cfg), draft_params
                 )
@@ -222,6 +229,30 @@ class BatchedServer:
             ) * kv_block_size
         else:
             self._prefix_len = self._prefix_match_len
+        # fail fast on impossible bucket geometry: every admission table /
+        # admission cache is sized bucket (+ chunk padding) past the cached
+        # prefix, so a bucket that cannot fit would otherwise surface as an
+        # opaque numpy broadcast error at the first admission (killing an
+        # OnlineEngine's engine thread under queued requests)
+        for b in self.prompt_buckets:
+            pad = (-b) % prefill_chunk if prefill_chunk else 0
+            if self._prefix_len + b + pad > max_cache_len:
+                raise ValueError(
+                    f"prompt bucket {b}"
+                    + (f" (padded to {b + pad} by prefill_chunk)" if pad else "")
+                    + f" cannot fit max_cache_len {max_cache_len}"
+                    + (
+                        f" after the {self._prefix_len}-token cached prefix"
+                        if self._prefix_len
+                        else ""
+                    )
+                    + ": shrink the buckets or enlarge the cache"
+                )
+            if kv_block_size is not None and prefill_chunk is not None and b % prefill_chunk:
+                raise ValueError(
+                    f"paged chunked prefill needs every prompt bucket to be "
+                    f"a multiple of prefill_chunk ({prefill_chunk}); got {b}"
+                )
 
         # one prefill program per prompt bucket, with a BUCKET-sized cache:
         # admission only needs the prompt positions (the row splice into the
@@ -539,6 +570,43 @@ class BatchedServer:
         pc = self._prefix_cache if which == "t" else self._d_prefix_cache
         return fn(pc)
 
+    def _ensure_pool_cache(self) -> None:
+        """Lazily build the paged persistent cache (block pool + tables +
+        per-row positions). One home for the init so every paged entry point
+        (prefix fill, direct-to-pool admission, post-insert admission) stays
+        on the same leaf set."""
+        if self._cache is None:
+            from llark_tpu.models.decoder import init_paged_kv_cache
+
+            self._cache = init_paged_kv_cache(
+                self.cfg, self.max_batch, self.kv_pool_blocks,
+                self.kv_block_size, self._max_blocks,
+            )
+
+    def _paged_chunk_fn(self):
+        """Lazily jit the direct-to-pool chunk program (donating the pool)."""
+        if self._prefill_chunk_paged is None:
+            from llark_tpu.generate import make_paged_prefill_chunk_fn
+
+            self._prefill_chunk_paged = jax.jit(
+                make_paged_prefill_chunk_fn(self.cfg),
+                donate_argnums=(3,),
+            )
+        return self._prefill_chunk_paged
+
+    def _pool_tmp(self, tables):
+        """(pool_keys, tmp) shuttle for the direct-to-pool chunk program:
+        the pool leaves of the persistent cache plus a fresh index and the
+        given block tables. Callers copy tmp[pool_keys] back after each
+        dispatch so interleaved decode rounds see every write."""
+        pool_keys = [
+            kk for kk in ("k", "v", "k_scale", "v_scale") if kk in self._cache
+        ]
+        tmp = {kk: self._cache[kk] for kk in pool_keys}
+        tmp["index"] = jnp.zeros((), jnp.int32)
+        tmp["block_tables"] = jnp.asarray(tables)
+        return pool_keys, tmp
+
     def _ensure_paged_prefix(self) -> None:
         """Lazily fill the shared-prefix pool blocks (paged prefix caching):
         allocate ceil-free blocks for the block-aligned prefix head, run ONE
@@ -550,13 +618,7 @@ class BatchedServer:
             or self._shared_block_ids is not None
         ):
             return
-        if self._cache is None:
-            from llark_tpu.models.decoder import init_paged_kv_cache
-
-            self._cache = init_paged_kv_cache(
-                self.cfg, self.max_batch, self.kv_pool_blocks,
-                self.kv_block_size, self._max_blocks,
-            )
+        self._ensure_pool_cache()
         n_shared = self._prefix_len // self.kv_block_size
         blocks = self._allocator.alloc(n_shared)
         if blocks is None:
@@ -564,30 +626,16 @@ class BatchedServer:
                 f"pool of {self.kv_pool_blocks} blocks cannot hold the "
                 f"{n_shared}-block shared prefix"
             )
-        if self._prefill_chunk_paged is None:
-            from llark_tpu.generate import make_paged_prefill_chunk_fn
-
-            self._prefill_chunk_paged = jax.jit(
-                make_paged_prefill_chunk_fn(self.cfg),
-                donate_argnums=(3,),
-            )
         from llark_tpu.models.decoder import embed_tokens
 
         ids1 = jnp.asarray(self._prefix_ids[None, : self._prefix_len])
         embeds = jax.jit(
             lambda p, i: embed_tokens(self.cfg, p, i)
         )(self.params, ids1)
-        pool_keys = [
-            kk for kk in ("k", "v", "k_scale", "v_scale") if kk in self._cache
-        ]
-        tmp = {kk: self._cache[kk] for kk in pool_keys}
-        tmp["index"] = jnp.zeros((), jnp.int32)
-        tmp["block_tables"] = jnp.asarray(
-            np.asarray(blocks, np.int32)[None, :]
-        )
+        pool_keys, tmp = self._pool_tmp(np.asarray(blocks, np.int32)[None, :])
         # one block-aligned chunk covering the whole cached prefix (a
         # one-time program; its transient is a single [1, P', H] forward)
-        tmp = self._prefill_chunk_paged(
+        tmp = self._paged_chunk_fn()(
             self.params, embeds,
             jnp.full((1,), self._prefix_len, jnp.int32),
             tmp, jnp.int32(0),
@@ -729,19 +777,7 @@ class BatchedServer:
                         # admitted row's block span (pad rows -> their own
                         # parking block); requires chunk-aligned buckets so the
                         # padded span never outruns the allocated budget
-                        if head_bucket % self.prefill_chunk:
-                            raise ValueError(
-                                f"paged chunked prefill needs the prompt bucket "
-                                f"({head_bucket}) to be a multiple of "
-                                f"prefill_chunk ({self.prefill_chunk})"
-                            )
-                        if self._cache is None:
-                            from llark_tpu.models.decoder import init_paged_kv_cache
-
-                            self._cache = init_paged_kv_cache(
-                                self.cfg, self.max_batch, self.kv_pool_blocks,
-                                self.kv_block_size, self._max_blocks,
-                            )
+                        self._ensure_pool_cache()
                         # with paged prefix caching, every row's table leads
                         # with the shared-prefix blocks so suffix queries can
                         # attend them; suffix writes land past the boundary
@@ -797,12 +833,7 @@ class BatchedServer:
                         )
                 if self._cache is None:
                     if self.paged:
-                        from llark_tpu.models.decoder import init_paged_kv_cache
-
-                        self._cache = init_paged_kv_cache(
-                            self.cfg, self.max_batch, self.kv_pool_blocks,
-                            self.kv_block_size, self._max_blocks,
-                        )
+                        self._ensure_pool_cache()
                     else:
                         # the persistent batched cache is FULL max_cache_len
                         # even though admission caches are bucket-sized
@@ -909,25 +940,15 @@ class BatchedServer:
                     f"({self.prefill_chunk}) to be a multiple of "
                     f"kv_block_size ({self.kv_block_size})"
                 )
-            if self._prefill_chunk_paged is None:
-                from llark_tpu.generate import make_paged_prefill_chunk_fn
-
-                self._prefill_chunk_paged = jax.jit(
-                    make_paged_prefill_chunk_fn(self.cfg),
-                    donate_argnums=(3,),
-                )
-            pool_keys = [kk for kk in ("k", "v", "k_scale", "v_scale")
-                         if kk in self._cache]
-            tmp = {kk: self._cache[kk] for kk in pool_keys}
-            tmp["index"] = jnp.zeros((), jnp.int32)
-            tmp["block_tables"] = jnp.asarray(admit_tables)
+            chunk_fn = self._paged_chunk_fn()
+            pool_keys, tmp = self._pool_tmp(admit_tables)
             # with paged prefix caching the embeds hold only suffixes: their
             # absolute positions (chunk starts, live lengths) are offset by
             # the block-aligned cached-prefix length
             base = self._prefix_len
             plens_abs = plens_j + base if base else plens_j
             for c in range(0, bucket + pad, self.prefill_chunk):
-                tmp = self._prefill_chunk_paged(
+                tmp = chunk_fn(
                     self.params,
                     jax.lax.dynamic_slice_in_dim(
                         padded, c, self.prefill_chunk, axis=1
@@ -992,10 +1013,16 @@ class BatchedServer:
         req.done = True
         req.finished_at = time.time()
         self._slot_req[slot] = None
+        self._release_blocks(slot)
+
+    def _release_blocks(self, slot: int) -> None:
+        """Return a retired/aborted row's PRIVATE pool blocks and repoint
+        its whole table at the parking block, so parked writes can never
+        land in a block a future request now owns. Shared-prefix blocks
+        are pool-wide and never freed. Also the abort path for engine
+        drivers (OnlineEngine): skipping it on failure would leak the
+        row's blocks for the server's lifetime."""
         if self.paged and self._slot_blocks[slot]:
-            # return the row's blocks to the pool and repoint its whole
-            # table at the parking block, so parked writes can never land
-            # in a block a future request now owns
             self._allocator.free(self._slot_blocks[slot])
             self._slot_blocks[slot] = []
             self._host_tables[slot, :] = slot

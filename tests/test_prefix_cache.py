@@ -167,6 +167,29 @@ def test_paged_prefix_config_guards(setup):
         BatchedServer(cfg, params, bundle.audio_patch_id,
                       shared_prefix_ids=header[:5], kv_block_size=8,
                       prefill_chunk=8)
+    # impossible bucket geometry fails at STARTUP, not as an opaque numpy
+    # broadcast error at the first admission (which would kill an
+    # OnlineEngine's engine thread under queued requests): a 32-token
+    # cached prefix leaves room for 4 pool blocks, but a 48-token bucket
+    # needs 6
+    # 32 tokens (4 blocks), reusing the fixture header's known-text-only ids
+    big_header = np.tile(header, 3)[:32].astype(np.int32)
+    with pytest.raises(ValueError, match="cannot fit"):
+        BatchedServer(cfg, params, bundle.audio_patch_id,
+                      max_cache_len=64, prompt_buckets=(48,),
+                      shared_prefix_ids=big_header, kv_block_size=8,
+                      prefill_chunk=8)
+    # dense prefix mode: bucket + prefix must also fit at startup
+    with pytest.raises(ValueError, match="cannot fit"):
+        BatchedServer(cfg, params, bundle.audio_patch_id,
+                      max_cache_len=64, prompt_buckets=(16, 56),
+                      shared_prefix_ids=header)
+    # paged chunked admission requires chunk-aligned buckets — also a
+    # startup error now
+    with pytest.raises(ValueError, match="multiple of prefill_chunk"):
+        BatchedServer(cfg, params, bundle.audio_patch_id,
+                      max_cache_len=64, prompt_buckets=(12,),
+                      kv_block_size=8, prefill_chunk=8)
 
 
 def test_daemon_probe_prefix_paged_engine():

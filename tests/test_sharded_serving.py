@@ -129,12 +129,15 @@ def test_sharded_batched_server_draft_spec(setup):
     gen_cfg = GC(max_new_tokens=5, temperature=0.0, stop_text="",
                  decode_chunk=2)
 
+    servers = []
+
     def serve(**kw):
         server = BatchedServer(
             cfg, params, bundle.audio_patch_id, gen_cfg,
             max_batch=2, max_cache_len=64, prompt_buckets=(16,),
             max_audio_frames=4, tokenizer=bundle.tokenizer, **kw,
         )
+        servers.append(server)
         out = server.serve([Request(i, a) for i, a in reqs])
         return [r.tokens for r in out]
 
@@ -142,6 +145,14 @@ def test_sharded_batched_server_draft_spec(setup):
     got = serve(mesh=make_mesh((1, 2, 4)), draft_cfg=draft_cfg,
                 draft_params=draft_params, gamma=2, spec_rounds=1)
     assert got == ref
+    # GSPMD cannot partition Pallas calls: under a mesh the DRAFT config
+    # must have its Pallas paths pinned off exactly like the target's
+    # (CPU CI masks this — Pallas only engages on TPU backends — so assert
+    # the config state directly)
+    d = servers[-1].draft_cfg
+    assert d.use_flash_decode is False and d.use_pallas_attention is False
+    t = servers[-1].cfg
+    assert t.use_flash_decode is False and t.use_pallas_attention is False
 
 
 def test_sharded_keyword_stopping(setup):
