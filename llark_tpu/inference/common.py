@@ -121,12 +121,6 @@ def check_serving_args(args) -> None:
         if spec == "draft" and not getattr(args, "draft_checkpoint_dir", None):
             raise SystemExit("--speculative draft requires --draft-checkpoint-dir")
         if getattr(args, "kv_block_size", None):
-            if spec == "draft" and getattr(args, "prefix_cache", False):
-                raise SystemExit(
-                    "--kv-block-size + --prefix-cache does not compose "
-                    "with --speculative draft (the dense draft cache "
-                    "would miss the shared prefix); drop one"
-                )
             if getattr(args, "prefix_cache", False) and not getattr(
                 args, "prefill_chunk", None
             ):
@@ -136,6 +130,19 @@ def check_serving_args(args) -> None:
                     "--prefill-chunk (a bucket-sized chunk gives one-shot "
                     "admission behavior)"
                 )
+        elif getattr(args, "prefix_cache", False) and getattr(
+            args, "prefill_chunk", None
+        ):
+            # dense mode: the server refuses this pairing in __init__ (the
+            # suffix IS the short part) — catch it at flag validation so
+            # the CLI exits cleanly instead of with a raw traceback
+            # (ADVICE r4 #3)
+            raise SystemExit(
+                "--prefix-cache and --prefill-chunk are mutually exclusive "
+                "without --kv-block-size (dense prefix caching already "
+                "prefills only the short per-request suffix); drop one or "
+                "add --kv-block-size for the paged direct-to-pool path"
+            )
     elif getattr(args, "kv_block_size", None):
         raise SystemExit("--kv-block-size requires --continuous-batching")
     pfc = getattr(args, "prefill_chunk", None)

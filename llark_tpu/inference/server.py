@@ -209,6 +209,14 @@ class BatchedServer:
                         "block to share — drop prefix caching or shrink "
                         "kv_block_size"
                     )
+                # fused-draft speculation over a paged prefix: the TARGET
+                # prefix lives in shared pool blocks, but the draft cache
+                # is dense, so draft admission is prefix-SEEDED exactly
+                # like dense-prefix mode (over the block-aligned head; the
+                # sub-block remainder rides each request's suffix)
+                self._prefix_cache = None
+                self._d_prefix_cache = None
+                self._seed_by_total: Dict[Any, Any] = {}
             else:
                 from llark_tpu.generate import make_suffix_prefill_fn
 
@@ -229,30 +237,56 @@ class BatchedServer:
             ) * kv_block_size
         else:
             self._prefix_len = self._prefix_match_len
-        # fail fast on impossible bucket geometry: every admission table /
+        # drop impossible bucket geometry up front: every admission table /
         # admission cache is sized bucket (+ chunk padding) past the cached
         # prefix, so a bucket that cannot fit would otherwise surface as an
         # opaque numpy broadcast error at the first admission (killing an
-        # OnlineEngine's engine thread under queued requests)
+        # OnlineEngine's engine thread under queued requests). Oversized
+        # buckets are FILTERED, not fatal: a config like buckets=(128, 512)
+        # with a 256-token cache serves every <=128-token prompt correctly
+        # (the 512 bucket is simply never selectable), so a fail-fast guard
+        # must not reject it — only a geometry where NO bucket fits raises.
+        feasible = []
         for b in self.prompt_buckets:
             pad = (-b) % prefill_chunk if prefill_chunk else 0
             if self._prefix_len + b + pad > max_cache_len:
-                raise ValueError(
-                    f"prompt bucket {b}"
-                    + (f" (padded to {b + pad} by prefill_chunk)" if pad else "")
-                    + f" cannot fit max_cache_len {max_cache_len}"
-                    + (
+                log.warning(
+                    "dropping prompt bucket %d%s: cannot fit max_cache_len "
+                    "%d%s — prompts longer than the largest remaining "
+                    "bucket will be rejected at submission",
+                    b,
+                    f" (padded to {b + pad} by prefill_chunk)" if pad else "",
+                    max_cache_len,
+                    (
                         f" after the {self._prefix_len}-token cached prefix"
                         if self._prefix_len
                         else ""
-                    )
-                    + ": shrink the buckets or enlarge the cache"
+                    ),
                 )
+                continue
             if kv_block_size is not None and prefill_chunk is not None and b % prefill_chunk:
                 raise ValueError(
                     f"paged chunked prefill needs every prompt bucket to be "
                     f"a multiple of prefill_chunk ({prefill_chunk}); got {b}"
                 )
+            feasible.append(b)
+        if not feasible:
+            raise ValueError(
+                f"no prompt bucket in {self.prompt_buckets} fits "
+                f"max_cache_len {max_cache_len}"
+                + (
+                    f" after the {self._prefix_len}-token cached prefix"
+                    if self._prefix_len
+                    else ""
+                )
+                + (
+                    f" with prefill_chunk {prefill_chunk} padding"
+                    if prefill_chunk
+                    else ""
+                )
+                + ": shrink the buckets or enlarge the cache"
+            )
+        self.prompt_buckets = tuple(feasible)
 
         # one prefill program per prompt bucket, with a BUCKET-sized cache:
         # admission only needs the prompt positions (the row splice into the
@@ -412,12 +446,6 @@ class BatchedServer:
         self.kv_block_size = kv_block_size
         self.paged = kv_block_size is not None
         if self.paged:
-            if draft_cfg is not None and shared_prefix_ids is not None:
-                raise ValueError(
-                    "paged prefix caching + fused draft speculation is not "
-                    "supported: the draft cache is dense and would miss "
-                    "the shared-prefix KV (drop one of the two)"
-                )
             if max_cache_len % kv_block_size:
                 raise ValueError(
                     f"max_cache_len {max_cache_len} must be a multiple of "
@@ -520,16 +548,22 @@ class BatchedServer:
         return None
 
     def _ensure_prefix_caches(self) -> None:
-        """Lazily run the one-time b=1 prefix prefill (target and draft)."""
-        if self._prefix_ids is None or self.paged or self._prefix_cache is not None:
+        """Lazily run the one-time b=1 prefix prefill (target and draft).
+
+        Paged mode: the TARGET prefix lives in shared pool blocks
+        (_ensure_paged_prefix), so only the dense draft cache needs a
+        seed — over the block-aligned head, whose length is the cache
+        index the suffix prefill offsets positions by."""
+        if self._prefix_ids is None:
             return
         from llark_tpu.generate import make_prefix_cache_fn
 
-        ids1 = jnp.asarray(self._prefix_ids[None, :])
-        self._prefix_cache = jax.jit(make_prefix_cache_fn(self.cfg))(
-            self.params, ids1
-        )
-        if self.draft_cfg is not None:
+        ids1 = jnp.asarray(self._prefix_ids[None, : self._prefix_len])
+        if not self.paged and self._prefix_cache is None:
+            self._prefix_cache = jax.jit(make_prefix_cache_fn(self.cfg))(
+                self.params, ids1
+            )
+        if self.draft_cfg is not None and self._d_prefix_cache is None:
             self._d_prefix_cache = jax.jit(
                 make_prefix_cache_fn(self.draft_cfg)
             )(self.draft_params, ids1)
@@ -628,18 +662,29 @@ class BatchedServer:
             )
         from llark_tpu.models.decoder import embed_tokens
 
-        ids1 = jnp.asarray(self._prefix_ids[None, : self._prefix_len])
-        embeds = jax.jit(
-            lambda p, i: embed_tokens(self.cfg, p, i)
-        )(self.params, ids1)
-        pool_keys, tmp = self._pool_tmp(np.asarray(blocks, np.int32)[None, :])
         # one block-aligned chunk covering the whole cached prefix (a
-        # one-time program; its transient is a single [1, P', H] forward)
-        tmp = self._paged_chunk_fn()(
-            self.params, embeds,
-            jnp.full((1,), self._prefix_len, jnp.int32),
-            tmp, jnp.int32(0),
-        )
+        # one-time program; its transient is a single [1, P', H] forward).
+        # If the embed/chunk forward raises after the alloc succeeded,
+        # return the blocks: _shared_block_ids stays None, so an
+        # OnlineEngine loop would retry every round and each retry would
+        # otherwise leak n_shared blocks until the pool was exhausted
+        # (mirrors _admit's pending_blocks handling; ADVICE r4 #1).
+        try:
+            ids1 = jnp.asarray(self._prefix_ids[None, : self._prefix_len])
+            embeds = jax.jit(
+                lambda p, i: embed_tokens(self.cfg, p, i)
+            )(self.params, ids1)
+            pool_keys, tmp = self._pool_tmp(
+                np.asarray(blocks, np.int32)[None, :]
+            )
+            tmp = self._paged_chunk_fn()(
+                self.params, embeds,
+                jnp.full((1,), self._prefix_len, jnp.int32),
+                tmp, jnp.int32(0),
+            )
+        except Exception:
+            self._allocator.free(blocks)
+            raise
         for kk in pool_keys:
             self._cache[kk] = tmp[kk]
         self._shared_block_ids = blocks

@@ -36,18 +36,18 @@ import json  # noqa: E402
 import pytest  # noqa: E402
 
 _SLOW_S = 10.0
+# the fast tier is BUDGETED, not just thresholded: the quickest tests fill
+# a wall-time budget and everything past it is slow, so `-m "not slow"`
+# stays an edit-loop tool (~<=5 min) no matter how many borderline tests
+# accumulate below the per-test threshold
+_FAST_BUDGET_S = 210.0
 _DURATIONS_FILE = os.path.join(os.path.dirname(__file__), ".durations.json")
-# Record when asked explicitly, and also whenever no recording exists yet:
-# a fresh host's first full-suite run self-pins without any env var, so the
-# fast tier is host-accurate from the second run onward.
-_RECORD = bool(os.environ.get("LLARK_RECORD_DURATIONS")) or not os.path.exists(
-    _DURATIONS_FILE
-)
+_RECORD_ALL = bool(os.environ.get("LLARK_RECORD_DURATIONS"))
 _RECORDED: dict = {}
 
 
 def pytest_runtest_logreport(report):
-    if _RECORD and report.when == "call":
+    if report.when == "call":
         # originalname semantics: parametrized cases collapse to their max
         name = report.nodeid.split("::", 1)[-1].split("[", 1)[0]
         base = f"{os.path.basename(report.nodeid.split('::')[0])}::{name}"
@@ -55,11 +55,27 @@ def pytest_runtest_logreport(report):
 
 
 def pytest_sessionfinish(session, exitstatus):
-    # only a full-suite recording run may re-pin (a -k / single-file subset
-    # must not rewrite the tier map from a sliver of the suite)
-    if _RECORD and len(_RECORDED) >= 200 and not session.config.option.keyword:
-        with open(_DURATIONS_FILE, "w") as f:
-            json.dump(dict(sorted(_RECORDED.items())), f, indent=0)
+    # Recording is ADDITIVE by default: any large (non -k) run merges
+    # timings for tests the file does not know yet, so tests added later —
+    # on any host — self-pin instead of inheriting the recording host's
+    # fast tier forever (ADVICE r4 #2). LLARK_RECORD_DURATIONS=1 on a full
+    # unfiltered run re-pins everything for the current host.
+    if len(_RECORDED) < 200 or session.config.option.keyword:
+        return
+    if _RECORD_ALL and not session.config.option.markexpr:
+        data = dict(_RECORDED)
+    else:
+        try:
+            with open(_DURATIONS_FILE) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        fresh = {k: v for k, v in _RECORDED.items() if k not in data}
+        if not fresh:
+            return
+        data.update(fresh)
+    with open(_DURATIONS_FILE, "w") as f:
+        json.dump(dict(sorted(data.items())), f, indent=0)
 
 
 _MEASURED_SLOW = {
@@ -118,15 +134,22 @@ _MEASURED_SLOW = {
 
 def _slow_set():
     """Measured slow set: recorded durations when available (per-host,
-    regenerated by LLARK_RECORD_DURATIONS runs), else the frozen list."""
+    regenerated by LLARK_RECORD_DURATIONS runs), else the frozen list.
+    A test is slow if it exceeds _SLOW_S on its own OR falls past the
+    _FAST_BUDGET_S cumulative budget (quickest-first)."""
     try:
         with open(_DURATIONS_FILE) as f:
             durations = json.load(f)
     except (OSError, ValueError):
-        return _MEASURED_SLOW
-    slow = {k for k, v in durations.items() if v >= _SLOW_S}
-    # tests never measured on this host (added since the recording) keep
-    # their original-host tier so they don't silently bloat the fast lane
+        return set(_MEASURED_SLOW)
+    slow = set()
+    total = 0.0
+    for k, v in sorted(durations.items(), key=lambda kv: kv[1]):
+        total += v
+        if v >= _SLOW_S or total > _FAST_BUDGET_S:
+            slow.add(k)
+    # tests never measured anywhere (added since the recording, before the
+    # next merge lands) keep their original-host tier
     slow |= {t for t in _MEASURED_SLOW if t not in durations}
     return slow
 

@@ -177,9 +177,12 @@ def test_server_rejects_vmem_unsafe_kv_block_size():
 
 
 def test_admission_failure_returns_blocks_to_pool():
-    """A prefill that raises during admission (here: the paged chunked-
-    prefill bucket-alignment ValueError) must free the blocks it allocated
-    — otherwise every failure permanently shrinks the pool."""
+    """A prefill that raises during admission — after the pool blocks were
+    allocated — must free them again, otherwise every failure permanently
+    shrinks the pool. Injected at the paged chunk program (mirroring
+    test_http_server's exploding-decode pattern) because since round 4 the
+    bucket-alignment misconfiguration this test used to ride is rejected
+    at construction and can no longer reach the admission try/except."""
     from llark_tpu.generate import GenerationConfig
 
     bundle, cfg, params = _tiny_server_parts()
@@ -187,14 +190,20 @@ def test_admission_failure_returns_blocks_to_pool():
         cfg, params, bundle.audio_patch_id,
         GenerationConfig(max_new_tokens=4, temperature=0.0, stop_text="",
                          decode_chunk=2),
-        max_batch=2, max_cache_len=64,
-        prompt_buckets=(24,),  # NOT a multiple of prefill_chunk=16
+        max_batch=2, max_cache_len=64, prompt_buckets=(16,),
         max_audio_frames=4, decode_chunk=2,
         kv_block_size=8, kv_pool_blocks=2 + 8, prefill_chunk=16,
     )
+
+    def exploding_chunk(*a, **k):
+        raise RuntimeError("injected prefill failure (e.g. XLA OOM)")
+
+    # _paged_chunk_fn() hands this straight to _chunked_prefill, so the
+    # failure fires after _admit committed the blocks to pending_blocks
+    server._prefill_chunk_paged = exploding_chunk
     free_before = server._allocator.free_blocks
-    req = Request(np.arange(4, 22, dtype=np.int32))
-    with pytest.raises(ValueError, match="prefill_chunk"):
+    req = Request(np.arange(4, 16, dtype=np.int32))
+    with pytest.raises(RuntimeError, match="injected prefill failure"):
         server.serve([req])
     assert server._allocator.free_blocks == free_before
 

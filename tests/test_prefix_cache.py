@@ -171,19 +171,21 @@ def test_paged_prefix_config_guards(setup):
     # broadcast error at the first admission (which would kill an
     # OnlineEngine's engine thread under queued requests): a 32-token
     # cached prefix leaves room for 4 pool blocks, but a 48-token bucket
-    # needs 6
+    # needs 6 — and it is the ONLY bucket, so nothing survives filtering
     # 32 tokens (4 blocks), reusing the fixture header's known-text-only ids
     big_header = np.tile(header, 3)[:32].astype(np.int32)
-    with pytest.raises(ValueError, match="cannot fit"):
+    with pytest.raises(ValueError, match="no prompt bucket"):
         BatchedServer(cfg, params, bundle.audio_patch_id,
                       max_cache_len=64, prompt_buckets=(48,),
                       shared_prefix_ids=big_header, kv_block_size=8,
                       prefill_chunk=8)
-    # dense prefix mode: bucket + prefix must also fit at startup
-    with pytest.raises(ValueError, match="cannot fit"):
-        BatchedServer(cfg, params, bundle.audio_patch_id,
+    # dense prefix mode: an over-size bucket is FILTERED (round 5 — the
+    # config still serves everything its feasible buckets can hold), so
+    # construction succeeds with only the 16 bucket live
+    s = BatchedServer(cfg, params, bundle.audio_patch_id,
                       max_cache_len=64, prompt_buckets=(16, 56),
                       shared_prefix_ids=header)
+    assert s.prompt_buckets == (16,)
     # paged chunked admission requires chunk-aligned buckets — also a
     # startup error now
     with pytest.raises(ValueError, match="multiple of prefill_chunk"):
@@ -290,3 +292,27 @@ def test_prefix_with_speculative_draft(setup):
     )
     for i, (r, g) in enumerate(zip(ref, got)):
         assert r == g, f"request {i}: {r} != {g}"
+
+
+def test_paged_prefix_with_speculative_draft(setup):
+    """The round-4 exclusion, closed: paged prefix caching + FUSED draft
+    speculation. The target's shared-prefix KV lives in pool blocks every
+    slot's table leads with; the dense draft cache is prefix-seeded over
+    the block-aligned head (the sub-block remainder rides the suffix).
+    fp32 greedy tokens match plain serving exactly, and the shared blocks
+    stay allocated while every private block is returned."""
+    bundle, cfg, params, header, reqs = setup
+    ref, _ = _serve(bundle, cfg, params, reqs[:3], max_new=6)
+    got, server = _serve(
+        bundle, cfg, params, reqs[:3], max_new=6,
+        shared_prefix_ids=header,
+        draft_cfg=cfg, draft_params=params, gamma=2, spec_rounds=1,
+        kv_block_size=8, prefill_chunk=8,
+    )
+    assert server.paged and server._shared_block_ids is not None
+    assert server._d_prefix_cache is not None  # draft seed was built
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r == g, f"request {i} (paged prefix + draft): {r} != {g}"
+    n_shared = server._prefix_len // server.kv_block_size
+    total = server.kv_pool_blocks
+    assert server._allocator.free_blocks == total - server.max_batch - n_shared
