@@ -174,6 +174,10 @@ def batch_infer_continuous(
     admit_batch: Optional[int] = None,  # transient-HBM admission knob
     admit_min_fill: int = 1,  # admission hysteresis (open-loop scheduling)
     admit_max_wait_s: float = 0.05,
+    admit_reorder: bool = False,  # mixed-bucket bounded reordering
+    admit_reorder_age_s: float = 0.5,
+    decode_chunk: int = 8,
+    decode_chunk_drain: Optional[int] = None,  # short rounds while queued
     allow_divergent_spec: bool = False,  # opt into sub-fp32 speculation
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
@@ -227,6 +231,10 @@ def batch_infer_continuous(
         admit_batch=admit_batch,
         admit_min_fill=admit_min_fill,
         admit_max_wait_s=admit_max_wait_s,
+        admit_reorder=admit_reorder,
+        admit_reorder_age_s=admit_reorder_age_s,
+        decode_chunk=decode_chunk,
+        decode_chunk_drain=decode_chunk_drain,
         allow_divergent_spec=allow_divergent_spec,
     )
     server.serve(requests)

@@ -79,6 +79,28 @@ def add_generation_args(p) -> None:
                         "(or --admit-max-wait-ms passes, or no slot is "
                         "decoding) so trickling arrivals coalesce into one "
                         "padded prefill wave instead of one wave each")
+    p.add_argument("--decode-chunk", type=int, default=8,
+                   help="with --continuous-batching: tokens decoded per "
+                        "dispatch for all live slots (one compiled "
+                        "multi-step program; fewer host syncs at larger "
+                        "values, coarser retirement granularity)")
+    p.add_argument("--decode-chunk-drain", type=int, default=None,
+                   help="with --continuous-batching: SHORTER decode chunk "
+                        "used while requests are queued and a slot is "
+                        "free — the in-flight decode round is the "
+                        "unpreemptible TTFT floor, so draining in short "
+                        "rounds admits arrivals sooner at the cost of "
+                        "extra dispatch syncs")
+    p.add_argument("--admit-reorder", action="store_true",
+                   help="with --continuous-batching: bounded admission "
+                        "reordering for mixed-length traffic — the largest "
+                        "queued same-bucket group wins each admission wave "
+                        "instead of strict FIFO, removing head-of-line "
+                        "blocking behind long-bucket heads; bounded by "
+                        "--admit-reorder-age-ms (an aged head forces its "
+                        "own bucket, so nothing starves)")
+    p.add_argument("--admit-reorder-age-ms", type=float, default=500.0,
+                   help="anti-starvation bound for --admit-reorder")
     p.add_argument("--admit-max-wait-ms", type=float, default=50.0,
                    help="hysteresis deadline for --admit-min-fill: admit "
                         "anyway once the oldest queued request has waited "

@@ -319,6 +319,10 @@ def main(argv=None):
         admit_batch=args.admit_batch,
         admit_min_fill=args.admit_min_fill,
         admit_max_wait_s=args.admit_max_wait_ms / 1000.0,
+        admit_reorder=args.admit_reorder,
+        admit_reorder_age_s=args.admit_reorder_age_ms / 1000.0,
+        decode_chunk=args.decode_chunk,
+        decode_chunk_drain=args.decode_chunk_drain,
         allow_divergent_spec=args.allow_divergent_spec,
         shared_prefix_ids=shared_prefix,
         mesh=mesh,

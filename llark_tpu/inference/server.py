@@ -74,6 +74,7 @@ class BatchedServer:
         prompt_buckets: tuple = (128, 512),
         max_audio_frames: int = 60,
         decode_chunk: int = 8,
+        decode_chunk_drain: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
         tokenizer=None,
         draft_cfg: Optional[ModelConfig] = None,
@@ -91,6 +92,8 @@ class BatchedServer:
         allow_divergent_spec: bool = False,
         admit_min_fill: int = 1,
         admit_max_wait_s: float = 0.05,
+        admit_reorder: bool = False,
+        admit_reorder_age_s: float = 0.5,
         mesh=None,
     ):
         import dataclasses as _dc
@@ -163,6 +166,15 @@ class BatchedServer:
         # amortizing the wave across arrivals at a bounded TTFT cost.
         self.admit_min_fill = max(1, int(admit_min_fill))
         self.admit_max_wait_s = float(admit_max_wait_s)
+        # bounded admission reordering (mixed-length traffic): each wave is
+        # ONE bucket, so under strict FIFO a short request behind a
+        # long-bucket head waits that whole wave (head-of-line blocking).
+        # With admit_reorder the largest queued same-bucket group wins the
+        # wave instead — bounded by admit_reorder_age_s: once the head
+        # request has waited that long its bucket is forced, so no bucket
+        # starves under a flood of the others.
+        self.admit_reorder = bool(admit_reorder)
+        self.admit_reorder_age_s = float(admit_reorder_age_s)
         self.max_cache_len = max_cache_len
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.max_audio_frames = max_audio_frames
@@ -327,6 +339,34 @@ class BatchedServer:
             make_multistep_decode_fn(cfg, self.gen_cfg, decode_chunk),
             donate_argnums=(2,),
         )
+        # adaptive decode rounds: the low-load TTFT floor is the
+        # UNPREEMPTIBLE in-flight decode round — an arrival that lands
+        # mid-round waits it out (up to decode_chunk tokens x all live
+        # slots) before admission can even see it (~0.6 s at chunk 16
+        # even at 10% utilization, PERFORMANCE.md "TTFT anatomy"). With
+        # decode_chunk_drain set, rounds dispatched while a slot is FREE
+        # run this shorter chunk instead: free capacity means a new
+        # arrival could be admitted immediately, so the engine keeps its
+        # unpreemptible window short (latency mode) and switches back to
+        # full rounds when every slot is busy (throughput mode — nothing
+        # to admit into, so long rounds only save dispatch syncs). A
+        # second compiled program; identical per-token math, so tokens
+        # are unchanged (greedy-exact in fp32).
+        self.decode_chunk_drain = decode_chunk_drain
+        self._decode_n_drain = None
+        if decode_chunk_drain is not None:
+            if not 1 <= decode_chunk_drain <= decode_chunk:
+                raise ValueError(
+                    f"decode_chunk_drain {decode_chunk_drain} must be in "
+                    f"[1, decode_chunk={decode_chunk}] (capacity headroom "
+                    "is provisioned for the full chunk)"
+                )
+            self._decode_n_drain = jax.jit(
+                make_multistep_decode_fn(
+                    cfg, self.gen_cfg, decode_chunk_drain
+                ),
+                donate_argnums=(2,),
+            )
         self._insert = jax.jit(self._insert_row, donate_argnums=(0,))
 
         # speculative serving: a draft model turns each decode round into
@@ -741,10 +781,61 @@ class BatchedServer:
         oldest = min(r.submitted_at for r in self._queue)
         return (time.time() - oldest) >= self.admit_max_wait_s
 
+    def _select_admit_group(self, width: int):
+        """(bucket, members) for this admission wave, members FIFO-ordered.
+
+        Default (strict FIFO): the head request's bucket, consecutive
+        same-bucket head-of-queue members only.
+
+        admit_reorder (bounded reordering): the LARGEST queued same-bucket
+        group wins the wave (ties: the group whose first member is
+        oldest), scanning past bucket mismatches — unless the head
+        request has already waited admit_reorder_age_s, in which case its
+        bucket is forced (the anti-starvation bound). Requests that fail
+        the prefix check or have no feasible bucket are skipped here and
+        fail individually when they reach the head."""
+        q = self._queue
+        if (
+            self.admit_reorder
+            and len(q) > 1
+            and (time.time() - q[0].submitted_at) < self.admit_reorder_age_s
+        ):
+            groups: Dict[int, List[Request]] = {}
+            for r in q:
+                if self._check_prefix(r) is not None:
+                    continue
+                try:
+                    groups.setdefault(
+                        self._bucket(self._suffix_len(r)), []
+                    ).append(r)
+                except ValueError:
+                    continue  # oversize: fails at head, not here
+            if groups:
+                bucket, members = max(
+                    groups.items(),
+                    key=lambda kv: (
+                        min(len(kv[1]), width),
+                        -kv[1][0].submitted_at,
+                    ),
+                )
+                return bucket, members[:width]
+        bucket = self._bucket(self._suffix_len(q[0]))
+        members: List[Request] = []
+        for r in q:
+            if (
+                len(members) >= width
+                or self._check_prefix(r) is not None
+                or self._bucket(self._suffix_len(r)) != bucket
+            ):
+                break
+            members.append(r)
+        return bucket, members
+
     def _admit(self) -> None:
         """Prefill queued requests into free slots. Same-bucket requests at
         the head of the queue are prefilled together in ONE batched call
-        (a burst of k arrivals costs one prefill, not k)."""
+        (a burst of k arrivals costs one prefill, not k); see
+        _select_admit_group for the mixed-bucket reordering policy."""
         self._ensure_prefix_caches()
         self._ensure_paged_prefix()
         while self._queue and self._free_slots() and self._admit_ready():
@@ -761,31 +852,27 @@ class BatchedServer:
             if not self._queue:
                 break
             slots = self._free_slots()
-            head_bucket = self._bucket(self._suffix_len(self._queue[0]))
-            # FIFO group: consecutive head-of-queue requests in this bucket
+            head_bucket, candidates = self._select_admit_group(
+                min(len(slots), self.admit_batch)
+            )
             group: List[Request] = []
             pending_blocks: List[List[int]] = []
-            while (
-                self._queue
-                and len(group) < min(len(slots), self.admit_batch)
-                and self._check_prefix(self._queue[0]) is None
-                and self._bucket(self._suffix_len(self._queue[0])) == head_bucket
-            ):
+            for req in candidates:
                 if self.paged:
                     # admission is gated by pool capacity, not just free
                     # slots: a request that can't get its blocks waits in
                     # the queue until retirements free some
                     blocks = self._allocator.alloc(
-                        self._block_budget(
-                            self._suffix_len(self._queue[0]), head_bucket
-                        )
+                        self._block_budget(self._suffix_len(req), head_bucket)
                     )
                     if blocks is None:
                         break
                     pending_blocks.append(blocks)
-                group.append(self._queue.pop(0))
+                group.append(req)
             if not group:
                 break  # pool exhausted: decode on, admit after retirements
+            admitted = set(map(id, group))
+            self._queue = [r for r in self._queue if id(r) not in admitted]
             # everything that can raise (jit compile, XLA OOM,
             # alignment ValueError) runs before any block is committed to a
             # slot: on failure, return the allocated blocks to the pool so a
@@ -1087,26 +1174,35 @@ class BatchedServer:
         if not active:
             return
         self._refresh_tables()
+        # drain mode: with a free slot an arrival could be admitted the
+        # moment this round ends, so run the SHORT decode program to keep
+        # the unpreemptible window small (see decode_chunk_drain in
+        # __init__). At full occupancy there is nothing to admit into —
+        # full rounds, full sync amortization.
+        chunk, decode_fn = self.decode_chunk, self._decode_n
+        if self._decode_n_drain is not None and len(active) < self.max_batch:
+            chunk, decode_fn = self.decode_chunk_drain, self._decode_n_drain
         token = np.zeros((self.max_batch,), np.int32)
-        # inactive rows park at the last `chunk` cache positions, which live
-        # rows can never attend (serve() caps prompt+max_new at S - chunk)
+        # inactive rows park at the last `decode_chunk` cache positions,
+        # which live rows can never attend (serve() caps prompt+max_new at
+        # S - chunk; drain rounds write fewer tokens so the same base holds)
         pos = np.full((self.max_batch,), self.max_cache_len - self.decode_chunk, np.int32)
         for i in active:
             token[i] = self._tokens_in_flight[i]
             pos[i] = self._write_pos[i]
         self._rng, sub = jax.random.split(self._rng)
-        toks, _logits, self._cache = self._decode_n(
+        toks, _logits, self._cache = decode_fn(
             self.params, jnp.asarray(token), self._cache, jnp.asarray(pos), sub
         )
         toks = np.asarray(jax.device_get(toks))  # [B, chunk]
         for i in active:
-            for j in range(self.decode_chunk):
+            for j in range(chunk):
                 if self._absorb(i, int(toks[i, j])):
                     self._finish(i)
                     break
             else:
                 # row still live: cache holds all chunk tokens
-                self._write_pos[i] += self.decode_chunk
+                self._write_pos[i] += chunk
                 self._tokens_in_flight[i] = int(toks[i, -1])
 
     def _hostspec_round(self) -> None:

@@ -88,6 +88,35 @@ ap.add_argument("--prefill-chunk", type=int, default=256,
                      "prefill (no decode interleave during admission — "
                      "the TTFT lever at short buckets)")
 ap.add_argument("--max-new", type=int, default=128)
+ap.add_argument("--mixed", default=None,
+                help="mixed-length open-loop workload: 'B1:W1,B2:W2,...' "
+                     "prompt buckets with arrival weights (e.g. "
+                     "128:0.4,512:0.4,1024:0.2). Overrides --bucket/"
+                     "--prompt-base; prompts draw a class per arrival and "
+                     "TTFT/TPOT percentiles are reported PER CLASS (the "
+                     "head-of-line-blocking probe: admission waves are "
+                     "single-bucket, so short requests can stall behind "
+                     "long-bucket heads under strict FIFO)")
+ap.add_argument("--reorder", type=int, default=0,
+                help="admit_reorder: bounded admission reordering — the "
+                     "largest queued same-bucket group wins each wave; a "
+                     "head older than --reorder-age-ms forces its bucket")
+ap.add_argument("--reorder-age-ms", type=float, default=500.0)
+ap.add_argument("--decode-drain", type=int, default=0,
+                help="decode_chunk_drain: decode rounds dispatched while "
+                     "requests are queued (and a slot is free) run this "
+                     "SHORTER chunk instead of 16, attacking the "
+                     "unpreemptible-round TTFT floor at the cost of extra "
+                     "dispatch syncs (0 = off)")
+ap.add_argument("--real-prompts", type=int, default=0,
+                help="build prompts with the REAL constructor (conversation "
+                     "header + LLark-style MIR questions + audio patch "
+                     "tokens via infer.build_prompt_ids over a WordTokenizer "
+                     "bundle) instead of uniform-random ids — so prefix-"
+                     "cache and n-gram numbers describe LLark-shaped "
+                     "traffic. Questions cycle a 16-entry MIR bank; the "
+                     "shared conversation header is derived with "
+                     "_common_prompt_prefix when --prefix-cache is on")
 ap.add_argument("--shared-prefix", type=int, default=0,
                 help="prepend a fixed N-token header to every prompt (the "
                      "LLark conversation-header workload, reference "
@@ -107,20 +136,102 @@ if args.shared_prefix and args.prefix_cache:
     if not args.paged and args.prefill_chunk:
         raise SystemExit("dense prefix caching excludes chunked admission: "
                          "pass --prefill-chunk 0")
+if (args.real_prompts and args.prefix_cache and not args.paged
+        and args.prefill_chunk):
+    raise SystemExit("dense prefix caching excludes chunked admission: "
+                     "pass --prefill-chunk 0 (or --paged for the "
+                     "direct-to-pool path)")
 n_req = args.requests or max(12, 3 * args.slots)
 header = rng.randint(0, 31996, size=(args.shared_prefix,)).astype(np.int32)
+audio_patch_id = 31999
+mixed_classes = None
+derived_header = None
+if args.mixed and (args.shared_prefix or args.real_prompts):
+    raise SystemExit("--mixed excludes --shared-prefix / --real-prompts "
+                     "(one study per run)")
+
+# prompt pool: (ids, audio, length_class) — length_class labels the bucket
+# a request admits under, for per-class reporting in mixed mode
 prompts = []
-for i in range(n_req):
-    n = args.prompt_base + (i * 17) % 120
-    ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
-    if args.shared_prefix:
-        ids = np.concatenate([header, ids])
-    audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
-    prompts.append((ids, audio))
+if args.mixed:
+    mixed_classes = []
+    for part in args.mixed.split(","):
+        b, w = part.split(":")
+        mixed_classes.append((int(b), float(w)))
+    cls_buckets = sorted(b for b, _ in mixed_classes)
+    weights = np.array([w for _, w in mixed_classes], np.float64)
+    weights /= weights.sum()
+    draws = rng.choice(len(mixed_classes), size=n_req, p=weights)
+    for i in range(n_req):
+        b = mixed_classes[draws[i]][0]
+        prev = max([x for x in cls_buckets if x < b], default=0)
+        span = min(96, b - prev)  # lengths land in (b - span, b] -> class b
+        n = b - (i * 17) % span
+        ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
+        audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
+        prompts.append((ids, audio, b))
+elif args.real_prompts:
+    # LLark-shaped traffic: the real prompt constructor over a word-level
+    # tokenizer — every request opens with the same conversation header
+    # (reference m2t/llava/conversation.py conv_v1_2) and asks a real MIR
+    # question; audio patch tokens ride inside the prompt
+    from llark_tpu.infer import _common_prompt_prefix, build_prompt_ids
+    from llark_tpu.tokenization import TokenizerBundle, WordTokenizer
+
+    bundle = TokenizerBundle.from_tokenizer(WordTokenizer(4096))
+    audio_patch_id = bundle.audio_patch_id
+    questions = [
+        "What is the genre of this song ?",
+        "Describe the tempo and feel of this piece in detail .",
+        "Which instruments can you hear , and what role does each play ?",
+        "What key is this song in , and does it change anywhere ?",
+        "Write detailed song lyrics that would fit this backing track .",
+        "Is the rhythm straight or swung ? Explain what you hear .",
+        "What chords are being played during the first section ?",
+        "How would you describe the mood of this recording ?",
+        "Estimate the beats per minute of this track .",
+        "Does this piece sound acoustic or electronic , and why ?",
+        "What era or decade does the production style suggest ?",
+        "Describe the structure of the song as it unfolds over time .",
+        "Is there a vocalist ? Describe the vocal style if so .",
+        "What genre tags would you assign , ranked by confidence ?",
+        "Explain how the drums and the bass interact rhythmically .",
+        "If you had to place this in a playlist , what would its theme be ?",
+    ]
+    for i in range(n_req):
+        ids = np.asarray(
+            build_prompt_ids(questions[i % len(questions)], 60, bundle),
+            np.int32,
+        )
+        audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
+        prompts.append((ids, audio, 0))
+    if args.prefix_cache:
+        derived_header = _common_prompt_prefix(
+            [p[0] for p in prompts], audio_patch_id,
+            min_len=max(8, args.paged or 0),
+        )
+        if derived_header is None:
+            raise SystemExit("no shareable common prefix in real prompts")
+    lens = [len(p[0]) for p in prompts]
+    print({"real_prompts": True, "len_min": min(lens), "len_max": max(lens),
+           "header_len": None if derived_header is None else len(derived_header)})
+else:
+    for i in range(n_req):
+        n = args.prompt_base + (i * 17) % 120
+        ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
+        if args.shared_prefix:
+            ids = np.concatenate([header, ids])
+        audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
+        prompts.append((ids, audio, 0))
 
 
 def fresh_requests():
-    return [Request(ids.copy(), audio.copy()) for ids, audio in prompts]
+    reqs = []
+    for ids, audio, cls in prompts:
+        r = Request(ids.copy(), audio.copy())
+        r.length_class = cls  # per-class reporting (mixed mode)
+        reqs.append(r)
+    return reqs
 
 
 def build_server(spec_mode=None, proposer=None):
@@ -143,19 +254,38 @@ def build_server(spec_mode=None, proposer=None):
         bucket += args.shared_prefix
         if args.prefill_chunk:  # paged chunking needs chunk-aligned buckets
             bucket += (-bucket) % args.prefill_chunk
+    if mixed_classes:
+        buckets = tuple(sorted(b for b, _ in mixed_classes))
+    elif args.real_prompts:
+        # size the (suffix) bucket to the longest real prompt
+        plen = 0
+        if args.prefix_cache and derived_header is not None:
+            plen = len(derived_header)
+            if args.paged:
+                plen = (plen // args.paged) * args.paged
+            prefix_kw = dict(shared_prefix_ids=derived_header)
+        bucket = max(len(p[0]) for p in prompts) - plen
+        if args.prefill_chunk:
+            bucket += (-bucket) % args.prefill_chunk
+        buckets = (bucket,)
+    else:
+        buckets = (bucket,)
     return BatchedServer(
-        cfg, params, audio_patch_id=31999,
+        cfg, params, audio_patch_id=audio_patch_id,
         gen_cfg=GenerationConfig(max_new_tokens=args.max_new, temperature=0.0,
                                  stop_text=""),
         max_batch=args.slots, max_cache_len=args.max_cache_len,
-        prompt_buckets=(bucket,),
+        prompt_buckets=buckets,
         **prefix_kw,
         max_audio_frames=60, decode_chunk=16,
+        decode_chunk_drain=args.decode_drain or None,
         prefill_chunk=args.prefill_chunk or None,
         spec_mode=spec_mode, spec_proposer=proposer, gamma=args.gamma,
         admit_batch=args.admit_batch or None,
         admit_min_fill=args.admit_min_fill,
         admit_max_wait_s=args.admit_max_wait_ms / 1000.0,
+        admit_reorder=bool(args.reorder),
+        admit_reorder_age_s=args.reorder_age_ms / 1000.0,
         **paged_kw,
     )
 
@@ -236,11 +366,14 @@ if args.arrival:
 
     def open_loop_run(server, qps):
         n = args.requests or max(24, int(qps * 45))  # ~45 s of arrivals
-        # cycle the prompt pool to n requests
+        # cycle the prompt pool to n requests (carrying the length class)
         pool = fresh_requests()
-        reqs = [Request(pool[i % len(pool)].input_ids.copy(),
-                        pool[i % len(pool)].audio_encoding.copy())
-                for i in range(n)]
+        reqs = []
+        for i in range(n):
+            src = pool[i % len(pool)]
+            r = Request(src.input_ids.copy(), src.audio_encoding.copy())
+            r.length_class = getattr(src, "length_class", 0)
+            reqs.append(r)
         at = arrival_times(n, qps)
         engine = OnlineEngine(server, idle_sleep_s=0.001).start()
         try:
@@ -270,7 +403,7 @@ if args.arrival:
         wall = (max(r.finished_at for r in done)
                 - min(r.submitted_at for r in done))
         q = lambda a, p: round(float(np.percentile(a, p)), 3) if len(a) else None
-        return {
+        out = {
             "arrival": args.arrival, "offered_qps": qps,
             "requests": len(reqs), "completed": len(done),
             "achieved_qps": round(len(done) / wall, 3),
@@ -282,10 +415,40 @@ if args.arrival:
             "admit_min_fill": args.admit_min_fill,
             "admit_max_wait_ms": args.admit_max_wait_ms,
             "prefill_chunk": args.prefill_chunk or "one-shot",
+            "decode_drain": args.decode_drain or None,
             "max_new": args.max_new,
             "shared_prefix": args.shared_prefix,
-            "prefix_cache": bool(args.shared_prefix and args.prefix_cache),
+            "prefix_cache": bool(
+                (args.shared_prefix or args.real_prompts) and args.prefix_cache
+            ),
+            "real_prompts": bool(args.real_prompts),
         }
+        if args.reorder:
+            out["admit_reorder"] = True
+            out["reorder_age_ms"] = args.reorder_age_ms
+        if mixed_classes:
+            # the HOL-blocking probe: percentiles PER length class — an
+            # aggregate p50 hides short requests stalling behind
+            # long-bucket admission waves
+            out["mixed"] = args.mixed
+            per = {}
+            for b, _w in sorted(mixed_classes):
+                sub = [r for r in done if getattr(r, "length_class", 0) == b]
+                sttft = np.array([r.first_token_at - r.submitted_at
+                                  for r in sub if r.first_token_at])
+                stpot = np.array([
+                    (r.finished_at - r.first_token_at) / (len(r.tokens) - 1)
+                    for r in sub if r.first_token_at and len(r.tokens) > 1
+                ])
+                slat = np.array([r.finished_at - r.submitted_at for r in sub])
+                per[str(b)] = {
+                    "n": len(sub),
+                    "ttft_p50_s": q(sttft, 50), "ttft_p95_s": q(sttft, 95),
+                    "tpot_p50_ms": q(stpot * 1000, 50),
+                    "latency_p50_s": q(slat, 50),
+                }
+            out["per_class"] = per
+        return out
 
     server = build_server("ngram" if args.spec == "ngram" else None)
     warmup(server)
