@@ -301,7 +301,26 @@ def quantize_params_int8_incremental(cfg: ModelConfig, params: Params) -> Params
 
 def quantized_dense(x: jnp.ndarray, wq: Dict[str, jnp.ndarray], b, dtype):
     """y = (x @ W_q) * scale [+ b]; int8 weights are converted to the
-    compute dtype inside the dot (no dequantized copy in HBM)."""
+    compute dtype inside the dot (no dequantized copy in HBM).
+
+    LLARK_TPU_INT8_KERNEL=1 swaps in the Pallas fused dequant-dot
+    (ops/int8_matmul.py) for MXU-tileable 2D projections — the round-5
+    probe of whether XLA really fuses the int8->bf16 convert into the
+    dot operand read (A/B: scripts/bench/bench_int8_matmul.py, result
+    recorded in PERFORMANCE.md)."""
+    import os
+
+    q = wq["q"]
+    if (
+        os.environ.get("LLARK_TPU_INT8_KERNEL")
+        and jax.default_backend() == "tpu"
+        and q.ndim == 2
+        and q.shape[0] % 128 == 0
+        and q.shape[1] % 128 == 0
+    ):
+        from llark_tpu.ops.int8_matmul import quantized_dense_kernel
+
+        return quantized_dense_kernel(x, wq, b, dtype)
     y = jnp.einsum(
         "bsh,hd->bsd",
         x,
