@@ -177,7 +177,8 @@ def batch_infer_continuous(
     admit_reorder: bool = False,  # mixed-bucket bounded reordering
     admit_reorder_age_s: float = 0.5,
     decode_chunk: int = 8,
-    decode_chunk_drain: Optional[int] = None,  # short rounds while queued
+    decode_chunk_drain: Optional[int] = None,  # short rounds at low occupancy
+    drain_max_active: Optional[int] = None,
     allow_divergent_spec: bool = False,  # opt into sub-fp32 speculation
 ) -> List[Dict]:
     """batch_infer through the continuous-batching engine
@@ -235,6 +236,7 @@ def batch_infer_continuous(
         admit_reorder_age_s=admit_reorder_age_s,
         decode_chunk=decode_chunk,
         decode_chunk_drain=decode_chunk_drain,
+        drain_max_active=drain_max_active,
         allow_divergent_spec=allow_divergent_spec,
     )
     server.serve(requests)

@@ -90,7 +90,14 @@ def add_generation_args(p) -> None:
                         "free — the in-flight decode round is the "
                         "unpreemptible TTFT floor, so draining in short "
                         "rounds admits arrivals sooner at the cost of "
-                        "extra dispatch syncs")
+                        "extra dispatch syncs. Fires only at low occupancy "
+                        "(see --drain-max-active)")
+    p.add_argument("--drain-max-active", type=int, default=None,
+                   help="with --decode-chunk-drain: drain rounds fire only "
+                        "while at most this many slots are live (default: "
+                        "half of --continuous-batching). Bounds the drain "
+                        "trigger away from saturation, where its own "
+                        "dispatch cost is bistable")
     p.add_argument("--admit-reorder", action="store_true",
                    help="with --continuous-batching: bounded admission "
                         "reordering for mixed-length traffic — the largest "

@@ -105,6 +105,7 @@ def main(argv=None):
             admit_reorder_age_s=args.admit_reorder_age_ms / 1000.0,
             decode_chunk=args.decode_chunk,
             decode_chunk_drain=args.decode_chunk_drain,
+            drain_max_active=args.drain_max_active,
         )
     else:
         gen = load_generator(args, bundle, cfg, params)

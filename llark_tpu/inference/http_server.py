@@ -323,6 +323,7 @@ def main(argv=None):
         admit_reorder_age_s=args.admit_reorder_age_ms / 1000.0,
         decode_chunk=args.decode_chunk,
         decode_chunk_drain=args.decode_chunk_drain,
+        drain_max_active=args.drain_max_active,
         allow_divergent_spec=args.allow_divergent_spec,
         shared_prefix_ids=shared_prefix,
         mesh=mesh,

@@ -75,6 +75,7 @@ class BatchedServer:
         max_audio_frames: int = 60,
         decode_chunk: int = 8,
         decode_chunk_drain: Optional[int] = None,
+        drain_max_active: Optional[int] = None,
         prefill_chunk: Optional[int] = None,
         tokenizer=None,
         draft_cfg: Optional[ModelConfig] = None,
@@ -352,9 +353,22 @@ class BatchedServer:
         # to admit into, so long rounds only save dispatch syncs). A
         # second compiled program; identical per-token math, so tokens
         # are unchanged (greedy-exact in fp32).
+        #
+        # drain_max_active bounds the trigger AWAY from saturation
+        # (default: half the slots). A bare free-slot trigger is bistable
+        # near full load — the drain rounds' own dispatch cost slows
+        # retirement just enough to keep one slot free, locking the
+        # engine in drain mode below its full-round capacity (measured:
+        # drain 8 at 0.9 QPS fell to 0.56 achieved with 25 s TTFTs,
+        # logs_r5/r5_drain_8.log). Requiring at-most-half occupancy keeps
+        # drain a low-load latency mode only.
         self.decode_chunk_drain = decode_chunk_drain
         self._decode_n_drain = None
         if decode_chunk_drain is not None:
+            self.drain_max_active = (
+                max_batch // 2 if drain_max_active is None
+                else int(drain_max_active)
+            )
             if not 1 <= decode_chunk_drain <= decode_chunk:
                 raise ValueError(
                     f"decode_chunk_drain {decode_chunk_drain} must be in "
@@ -1174,13 +1188,17 @@ class BatchedServer:
         if not active:
             return
         self._refresh_tables()
-        # drain mode: with a free slot an arrival could be admitted the
+        # drain mode: at low occupancy an arrival could be admitted the
         # moment this round ends, so run the SHORT decode program to keep
         # the unpreemptible window small (see decode_chunk_drain in
-        # __init__). At full occupancy there is nothing to admit into —
-        # full rounds, full sync amortization.
+        # __init__). Near/at full occupancy — full rounds, full sync
+        # amortization (the occupancy gate prevents the near-saturation
+        # bistability measured in logs_r5/r5_drain_8.log).
         chunk, decode_fn = self.decode_chunk, self._decode_n
-        if self._decode_n_drain is not None and len(active) < self.max_batch:
+        if (
+            self._decode_n_drain is not None
+            and len(active) <= self.drain_max_active
+        ):
             chunk, decode_fn = self.decode_chunk_drain, self._decode_n_drain
         token = np.zeros((self.max_batch,), np.int32)
         # inactive rows park at the last `decode_chunk` cache positions,

@@ -82,6 +82,9 @@ ap.add_argument("--admit-min-fill", type=int, default=1,
                 help="admission hysteresis: hold queued requests until this "
                      "many are waiting (or --admit-max-wait-ms passes, or "
                      "no slot is decoding)")
+ap.add_argument("--arrival-seed", type=int, default=7,
+                help="open-loop arrival-times seed (vary to check a "
+                     "conclusion isn't one lucky Poisson draw)")
 ap.add_argument("--admit-max-wait-ms", type=float, default=50.0)
 ap.add_argument("--prefill-chunk", type=int, default=256,
                 help="admission prefill chunk tokens; 0 = one-shot bucket "
@@ -102,6 +105,10 @@ ap.add_argument("--reorder", type=int, default=0,
                      "largest queued same-bucket group wins each wave; a "
                      "head older than --reorder-age-ms forces its bucket")
 ap.add_argument("--reorder-age-ms", type=float, default=500.0)
+ap.add_argument("--drain-max-active", type=int, default=None,
+                help="occupancy gate for --decode-drain (default: half the "
+                     "slots); drain rounds only fire at-or-below this many "
+                     "live rows")
 ap.add_argument("--decode-drain", type=int, default=0,
                 help="decode_chunk_drain: decode rounds dispatched while "
                      "requests are queued (and a slot is free) run this "
@@ -279,8 +286,13 @@ def build_server(spec_mode=None, proposer=None):
         **prefix_kw,
         max_audio_frames=60, decode_chunk=16,
         decode_chunk_drain=args.decode_drain or None,
+        drain_max_active=args.drain_max_active,
         prefill_chunk=args.prefill_chunk or None,
         spec_mode=spec_mode, spec_proposer=proposer, gamma=args.gamma,
+        # bench outputs are never consumed as text: accept bf16 verify-vs-
+        # decode divergence for speculative THROUGHPUT measurement (the
+        # token-exactness claim is made by the fp32 unit tests, not here)
+        allow_divergent_spec=spec_mode is not None,
         admit_batch=args.admit_batch or None,
         admit_min_fill=args.admit_min_fill,
         admit_max_wait_s=args.admit_max_wait_ms / 1000.0,
@@ -354,7 +366,8 @@ if args.arrival:
     elif args.arrival != "poisson":
         raise SystemExit(f"unknown --arrival {args.arrival!r}")
 
-    def arrival_times(n, qps, seed=7):
+    def arrival_times(n, qps, seed=None):
+        seed = args.arrival_seed if seed is None else seed
         """Request arrival offsets (s). Poisson: exponential inter-arrival
         at rate qps. Bursty: groups of `burst` simultaneous arrivals at
         Poisson group times of rate qps/burst (same offered load)."""
@@ -392,6 +405,13 @@ if args.arrival:
 
     def operating_point(reqs, qps):
         done = [r for r in reqs if r.finished_at and not r.error]
+        if not done:
+            # a failed point (e.g. OOM under this config) reports instead
+            # of crashing the sweep; the first error is the diagnosis
+            errs = [r.error for r in reqs if r.error]
+            return {"arrival": args.arrival, "offered_qps": qps,
+                    "requests": len(reqs), "completed": 0,
+                    "error": errs[0] if errs else "no request completed"}
         ttft = np.array([r.first_token_at - r.submitted_at for r in done
                          if r.first_token_at])
         tpot = np.array([
@@ -426,6 +446,12 @@ if args.arrival:
         if args.reorder:
             out["admit_reorder"] = True
             out["reorder_age_ms"] = args.reorder_age_ms
+        if server.spec_proposed:
+            out["spec_acceptance"] = round(
+                server.spec_accepted / server.spec_proposed, 3
+            )
+            out["gamma"] = args.gamma
+            server.spec_accepted = server.spec_proposed = 0  # per point
         if mixed_classes:
             # the HOL-blocking probe: percentiles PER length class — an
             # aggregate p50 hides short requests stalling behind

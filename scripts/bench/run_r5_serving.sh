@@ -27,12 +27,16 @@ run() {
 }
 
 # --- 1. mixed-length HOL probe (dense, chunked admission, 8 slots) ------
+# admit-batch 2: the 1024-bucket admission cache at admit 8 OOMs next to
+# the 8x2048 persistent cache (first attempt, r5 16:52) — 2 is the tuned
+# chunked-prefill config from the round-4 roofline anyway
 MIX="128:0.4,512:0.4,1024:0.2"
 run r5_mixed_fifo.log    --slots 8 --max-cache-len 2048 --mixed "$MIX" \
-    --arrival poisson --qps 0.6,0.9 --prefill-chunk 256 --max-new 128
+    --arrival poisson --qps 0.6,0.9 --prefill-chunk 256 --max-new 128 \
+    --admit-batch 2
 run r5_mixed_reorder.log --slots 8 --max-cache-len 2048 --mixed "$MIX" \
     --arrival poisson --qps 0.6,0.9 --prefill-chunk 256 --max-new 128 \
-    --reorder 1
+    --admit-batch 2 --reorder 1
 
 # --- 2. decode-drain vs one-shot baseline (single 512 bucket) -----------
 run r5_drain_off.log --slots 8 --max-cache-len 1024 --prefill-chunk 0 \
