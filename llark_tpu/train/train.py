@@ -210,14 +210,13 @@ def train(
             jax.process_index(), jax.process_count(),
             jax.local_device_count(), jax.device_count(),
         )
-    # jax import already ran basicConfig; configure our logger explicitly
-    pkg_log = logging.getLogger("llark_tpu")
-    pkg_log.setLevel(logging.INFO if jax.process_index() == 0 else logging.WARNING)
-    pkg_log.propagate = False  # avoid duplicate lines via jax's root handler
-    if not pkg_log.handlers:
-        h = logging.StreamHandler()
-        h.setFormatter(logging.Formatter("[%(asctime)s %(name)s] %(message)s"))
-        pkg_log.addHandler(h)
+    # INFO on the coordinator, WARNING on followers; handler/propagation
+    # setup lives in main() — train() is also a library entry point and must
+    # not mutate process-global logging state (it broke pytest's caplog for
+    # every test that ran after a train() call)
+    logging.getLogger("llark_tpu").setLevel(
+        logging.INFO if jax.process_index() == 0 else logging.WARNING
+    )
     write_args_to_file([model_args, data_args, training_args], training_args.output_dir)
 
     cfg = model_cfg or model_config_from_name(
@@ -586,6 +585,15 @@ def train(
 
 
 def main(argv=None):
+    # jax import already ran basicConfig; give the package logger its own
+    # handler and stop propagation so CLI runs don't print duplicate lines
+    # via jax's root handler (CLI-only: library callers keep global state)
+    pkg_log = logging.getLogger("llark_tpu")
+    pkg_log.propagate = False
+    if not pkg_log.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("[%(asctime)s %(name)s] %(message)s"))
+        pkg_log.addHandler(h)
     model_args, data_args, training_args = parse_args(argv)
     train(model_args, data_args, training_args)
 
