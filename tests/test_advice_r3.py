@@ -157,16 +157,8 @@ def test_lora_on_moe_warns_attention_only(caplog):
 
     cfg = _moe_cfg(lora_rank=4)
     params = init_llark_params(cfg, jax.random.PRNGKey(0))
-    # train() disables propagation on the llark_tpu logger; caplog's handler
-    # sits on root, so re-enable propagation for the capture window
-    pkg = logging.getLogger("llark_tpu")
-    prev = pkg.propagate
-    pkg.propagate = True
-    try:
-        with caplog.at_level(logging.WARNING, logger="llark_tpu.models.lora"):
-            lp = init_lora_params(cfg, jax.random.PRNGKey(1), params)
-    finally:
-        pkg.propagate = prev
+    with caplog.at_level(logging.WARNING, logger="llark_tpu.models.lora"):
+        lp = init_lora_params(cfg, jax.random.PRNGKey(1), params)
     assert any("attention" in r.message for r in caplog.records)
     # only attention projections got factors (no moe_w_* targets)
     assert all(k.split("_lora_")[0] in ("wq", "wk", "wv", "wo") for k in lora_keys(lp))
