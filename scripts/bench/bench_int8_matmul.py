@@ -31,18 +31,33 @@ import jax
 import jax.numpy as jnp
 
 from llark_tpu.models.quant import quantize_weight, quantized_dense
-from llark_tpu.ops.int8_matmul import int8_matmul
+from llark_tpu.ops.int8_matmul import int8_matmul, quantized_dense_kernel
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--tiny", action="store_true", help="CPU smoke (interpret)")
 ap.add_argument("--iters", type=int, default=64)
 ap.add_argument("--repeats", type=int, default=3)
+ap.add_argument("--decode-sweep", action="store_true",
+                help="sweep decode row counts m in {1,4,8} instead of the "
+                     "default prefill/decode pair (m=1 is single-stream "
+                     "decode, the bench.py headline's shape)")
 args = ap.parse_args()
 
 if args.tiny:
     jax.config.update("jax_platforms", "cpu")
     SHAPES = [("toy", 16, 128, 256)]
     DTYPE = jnp.float32
+elif args.decode_sweep:
+    SHAPES = [
+        (f"{proj} m={m}", m, k, n)
+        for m in (1, 4, 8)
+        for proj, k, n in (
+            ("attn 4096x4096", 4096, 4096),
+            ("mlp up 4096x11008", 4096, 11008),
+            ("mlp down 11008x4096", 11008, 4096),
+        )
+    ]
+    DTYPE = jnp.bfloat16
 else:
     # 7B Llama projections; lm_head (32004) is excluded — 32004 % 128 != 0,
     # the kernel's gate skips it in production too
@@ -95,14 +110,24 @@ for name, m, k, n in SHAPES:
     xla_fn = chain(
         lambda x: quantized_dense(x[None], wq, None, DTYPE)[0]
     )
-    pallas_fn = chain(
-        functools.partial(
-            lambda x, interp: int8_matmul(
-                x, wq["q"], wq["scale"], interpret=interp
-            ),
-            interp=bool(args.tiny),
+    if args.decode_sweep:
+        # the production wrapper: pads m to the sublane minimum (16 for
+        # bf16) — at m<16 the kernel's honest cost includes the padding,
+        # exactly as quantized_dense would pay it in the decode loop
+        pallas_fn = chain(
+            lambda x: quantized_dense_kernel(
+                x, wq, None, DTYPE, interpret=bool(args.tiny)
+            )
         )
-    )
+    else:
+        pallas_fn = chain(
+            functools.partial(
+                lambda x, interp: int8_matmul(
+                    x, wq["q"], wq["scale"], interpret=interp
+                ),
+                interp=bool(args.tiny),
+            )
+        )
     t_xla = timed(xla_fn, x0)
     t_pal = timed(pallas_fn, x0)
     flops = 2.0 * m * k * n
