@@ -153,9 +153,47 @@ header = rng.randint(0, 31996, size=(args.shared_prefix,)).astype(np.int32)
 audio_patch_id = 31999
 mixed_classes = None
 derived_header = None
-if args.mixed and (args.shared_prefix or args.real_prompts):
-    raise SystemExit("--mixed excludes --shared-prefix / --real-prompts "
-                     "(one study per run)")
+if args.mixed and args.shared_prefix:
+    raise SystemExit("--mixed excludes --shared-prefix (one study per run)")
+if args.mixed and args.real_prompts and args.prefix_cache:
+    raise SystemExit("--mixed --real-prompts runs with --prefix-cache 0 "
+                     "(mixed-length realism study; the prefix-cache study "
+                     "is --real-prompts alone)")
+
+MIR_QUESTIONS = [
+    "What is the genre of this song ?",
+    "Describe the tempo and feel of this piece in detail .",
+    "Which instruments can you hear , and what role does each play ?",
+    "What key is this song in , and does it change anywhere ?",
+    "Write detailed song lyrics that would fit this backing track .",
+    "Is the rhythm straight or swung ? Explain what you hear .",
+    "What chords are being played during the first section ?",
+    "How would you describe the mood of this recording ?",
+    "Estimate the beats per minute of this track .",
+    "Does this piece sound acoustic or electronic , and why ?",
+    "What era or decade does the production style suggest ?",
+    "Describe the structure of the song as it unfolds over time .",
+    "Is there a vocalist ? Describe the vocal style if so .",
+    "What genre tags would you assign , ranked by confidence ?",
+    "Explain how the drums and the bass interact rhythmically .",
+    "If you had to place this in a playlist , what would its theme be ?",
+]
+
+# assistant answers for multi-turn history (varied lengths, so history
+# turns grow prompts at a realistic, non-uniform granularity)
+MIR_ANSWERS = [
+    "It sounds like an upbeat electro swing track with a walking bass .",
+    "Roughly 124 beats per minute , steady four on the floor throughout .",
+    "I hear drums , electric bass , a horn section , and a muted piano "
+    "comping underneath the lead .",
+    "The key centre is B flat major and it stays there for the whole clip .",
+    "The mood is playful and nostalgic , like a speakeasy remixed for a "
+    "modern dance floor , with bright brass stabs answering the vocal "
+    "phrases in every second bar .",
+    "The rhythm is lightly swung ; the hats land behind the beat .",
+    "Mostly a ii V I loop with an occasional diminished passing chord .",
+    "Acoustic instruments dominate , but the low end is clearly synthetic .",
+]
 
 # prompt pool: (ids, audio, length_class) — length_class labels the bucket
 # a request admits under, for per-class reporting in mixed mode
@@ -169,14 +207,78 @@ if args.mixed:
     weights = np.array([w for _, w in mixed_classes], np.float64)
     weights /= weights.sum()
     draws = rng.choice(len(mixed_classes), size=n_req, p=weights)
-    for i in range(n_req):
-        b = mixed_classes[draws[i]][0]
-        prev = max([x for x in cls_buckets if x < b], default=0)
-        span = min(96, b - prev)  # lengths land in (b - span, b] -> class b
-        n = b - (i * 17) % span
-        ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
-        audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
-        prompts.append((ids, audio, b))
+    if args.real_prompts:
+        # mixed-length LLark traffic: multi-turn conversations over the
+        # real constructor — audio + question in turn 1, follow-up QA
+        # history pads longer classes the way real sessions do.
+        # build_prompt_ids cannot express history (extract_prompt_tokens
+        # cuts at the FIRST '\n### Assistant:'), so the text is assembled
+        # from the same conversation primitives directly.
+        from llark_tpu.conversation import (
+            DEFAULT_CONVERSATION_HEADER,
+            concat_audio_token_and_prompt,
+            format_turn,
+        )
+        from llark_tpu.tokenization import (
+            TokenizerBundle,
+            WordTokenizer,
+            expand_conversation_audio,
+        )
+
+        bundle = TokenizerBundle.from_tokenizer(WordTokenizer(4096))
+        audio_patch_id = bundle.audio_patch_id
+
+        def multiturn_ids(i: int, n_pairs: int) -> np.ndarray:
+            turns = []
+            for j in range(n_pairs):
+                q = MIR_QUESTIONS[(i + 3 * j + 1) % len(MIR_QUESTIONS)]
+                turns.append({
+                    "from": "human",
+                    "value": concat_audio_token_and_prompt(q, True) if j == 0 else q,
+                })
+                turns.append({
+                    "from": "gpt",
+                    "value": MIR_ANSWERS[(i + j) % len(MIR_ANSWERS)],
+                })
+            fq = MIR_QUESTIONS[i % len(MIR_QUESTIONS)]
+            turns.append({
+                "from": "human",
+                "value": fq if n_pairs else concat_audio_token_and_prompt(fq, True),
+            })
+            turns = expand_conversation_audio(turns, 60, True)
+            text = (
+                DEFAULT_CONVERSATION_HEADER
+                + "".join(format_turn(t["from"], t["value"]) for t in turns)
+                + "### Assistant:"
+            )
+            return np.asarray(bundle.encode(text, truncate=False), np.int32)
+
+        for i in range(n_req):
+            b = mixed_classes[draws[i]][0]
+            # grow history toward the target bucket, never past it: keep
+            # the longest conversation that still admits at bucket b
+            ids = multiturn_ids(i, 0)
+            for n_pairs in range(1, 64):
+                nxt = multiturn_ids(i, n_pairs)
+                if len(nxt) > b:
+                    break
+                ids = nxt
+            cls = min(x for x in cls_buckets if x >= len(ids))
+            audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
+            prompts.append((ids, audio, cls))
+        mix_n = {b: sum(1 for p in prompts if p[2] == b) for b in cls_buckets}
+        lens = [len(p[0]) for p in prompts]
+        print({"real_prompts": True, "mixed": True, "len_min": min(lens),
+               "len_max": max(lens), "achieved_mix": mix_n})
+    else:
+        for i in range(n_req):
+            b = mixed_classes[draws[i]][0]
+            prev = max([x for x in cls_buckets if x < b], default=0)
+            span = min(96, b - prev)  # lengths land in (b - span, b] -> class b
+            n = b - (i * 17) % span
+            ids = rng.randint(0, 31996, size=(n,)).astype(np.int32)
+            audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
+            prompts.append((ids, audio, b))
 elif args.real_prompts:
     # LLark-shaped traffic: the real prompt constructor over a word-level
     # tokenizer — every request opens with the same conversation header
