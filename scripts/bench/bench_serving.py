@@ -289,27 +289,9 @@ elif args.real_prompts:
 
     bundle = TokenizerBundle.from_tokenizer(WordTokenizer(4096))
     audio_patch_id = bundle.audio_patch_id
-    questions = [
-        "What is the genre of this song ?",
-        "Describe the tempo and feel of this piece in detail .",
-        "Which instruments can you hear , and what role does each play ?",
-        "What key is this song in , and does it change anywhere ?",
-        "Write detailed song lyrics that would fit this backing track .",
-        "Is the rhythm straight or swung ? Explain what you hear .",
-        "What chords are being played during the first section ?",
-        "How would you describe the mood of this recording ?",
-        "Estimate the beats per minute of this track .",
-        "Does this piece sound acoustic or electronic , and why ?",
-        "What era or decade does the production style suggest ?",
-        "Describe the structure of the song as it unfolds over time .",
-        "Is there a vocalist ? Describe the vocal style if so .",
-        "What genre tags would you assign , ranked by confidence ?",
-        "Explain how the drums and the bass interact rhythmically .",
-        "If you had to place this in a playlist , what would its theme be ?",
-    ]
     for i in range(n_req):
         ids = np.asarray(
-            build_prompt_ids(questions[i % len(questions)], 60, bundle),
+            build_prompt_ids(MIR_QUESTIONS[i % len(MIR_QUESTIONS)], 60, bundle),
             np.int32,
         )
         audio = rng.randn(60, cfg.mm_hidden_size).astype(np.float32)
