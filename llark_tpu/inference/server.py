@@ -375,6 +375,16 @@ class BatchedServer:
                     f"[1, decode_chunk={decode_chunk}] (capacity headroom "
                     "is provisioned for the full chunk)"
                 )
+            if spec_mode is not None or draft_cfg is not None:
+                # speculative rounds replace plain decode rounds entirely
+                # (_decode_round dispatches to _spec_round/_hostspec_round
+                # first), so the drain program would never run — harmless,
+                # but say so instead of silently ignoring the knob
+                log.warning(
+                    "decode_chunk_drain is inert under speculation: "
+                    "propose/verify rounds replace plain decode rounds, "
+                    "so the short drain program never dispatches"
+                )
             self._decode_n_drain = jax.jit(
                 make_multistep_decode_fn(
                     cfg, self.gen_cfg, decode_chunk_drain

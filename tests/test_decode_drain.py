@@ -108,3 +108,19 @@ def test_drain_with_paged_and_chunked_prefill(setup):
         return [r.tokens for r in out]
 
     assert run() == run(decode_chunk_drain=1)
+
+
+def test_drain_inert_under_speculation_warns(setup, caplog):
+    """Speculative rounds replace plain decode rounds, so the drain
+    program never dispatches — the pairing warns at init instead of
+    silently ignoring the knob, and serving still works."""
+    import logging
+
+    bundle, cfg, params, prompts = setup
+    with caplog.at_level(logging.WARNING, "llark_tpu.inference.server"):
+        server = _server(
+            bundle, cfg, params, decode_chunk_drain=1, spec_mode="ngram",
+        )
+    assert any("inert under speculation" in r.message for r in caplog.records)
+    out = server.serve([Request(prompts[0].copy())])
+    assert len(out[0].tokens) == 6
