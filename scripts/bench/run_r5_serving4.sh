@@ -29,6 +29,14 @@ run r5_hdr128_paged_off.log --slots 8 --max-cache-len 1024 --paged 128 \
     --prefill-chunk 256 --admit-batch 2 --shared-prefix 128 --prefix-cache 0 \
     --arrival poisson --qps 0.9 --max-new 128
 
+# the same paged header-128 pair below the knee (0.6 QPS)
+run r5_hdr128_paged_on_06.log  --slots 8 --max-cache-len 1024 --paged 128 \
+    --prefill-chunk 256 --admit-batch 2 --shared-prefix 128 --prefix-cache 1 \
+    --arrival poisson --qps 0.6 --max-new 128
+run r5_hdr128_paged_off_06.log --slots 8 --max-cache-len 1024 --paged 128 \
+    --prefill-chunk 256 --admit-batch 2 --shared-prefix 128 --prefix-cache 0 \
+    --arrival poisson --qps 0.6 --max-new 128
+
 # dense one-shot, header 64 (machinery of the r5 real-prompt study)
 run r5_hdr64_dense_on.log  --slots 8 --max-cache-len 1024 --prefill-chunk 0 \
     --shared-prefix 64 --prefix-cache 1 \
